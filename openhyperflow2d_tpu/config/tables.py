@@ -1,0 +1,116 @@
+"""Piecewise-linear property tables.
+
+Re-implements the reference ``Table::GetVal`` (obj_data/obj_data.cpp:1822-1859)
+with identical branch semantics, plus a vectorized JAX version used inside the
+solver step for temperature-dependent gas properties.
+
+Exact reference semantics (deliberately preserved, including quirks):
+
+* single-row tables return ``y[0]``;
+* ``x <= x[0]``  -> linear extrapolation on the first segment (i = 1);
+* ``x >= x[n-1]`` -> linear extrapolation on the last segment (i = n-1);
+* otherwise the first ascending bracket ``x[i-1] <= x < x[i]`` wins.  Tables
+  stored in descending order (several shipped decks do this, e.g. ``lam_OX``)
+  therefore always resolve through the two boundary checks;
+* the "zero table" singleton always returns 0 (obj_data.cpp:1678).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Table:
+    """Host-side (x, y) table with reference-exact interpolation."""
+
+    x: np.ndarray
+    y: np.ndarray
+    name: str = ""
+    is_zero: bool = field(default=False)
+
+    @classmethod
+    def zero(cls) -> "Table":
+        return cls(np.zeros(1), np.zeros(1), name="ZeroTable", is_zero=True)
+
+    @classmethod
+    def constant(cls, value: float, name: str = "") -> "Table":
+        return cls(np.zeros(1), np.asarray([value], dtype=np.float64),
+                   name=name)
+
+    @property
+    def n(self) -> int:
+        return int(self.x.shape[0])
+
+    def get_val(self, q: float) -> float:
+        """Scalar ``Table::GetVal`` (obj_data.cpp:1822-1859)."""
+        if self.is_zero:
+            return 0.0
+        x, y, n = self.x, self.y, self.n
+        if n == 1:
+            return float(y[0])
+        if q <= x[0]:
+            i = 1
+        elif q >= x[n - 1]:
+            i = n - 1
+        else:
+            i = n - 1
+            for k in range(1, n):
+                if x[k - 1] <= q < x[k]:
+                    i = k
+                    break
+        return float(y[i] + (y[i - 1] - y[i]) * (q - x[i]) / (x[i - 1] - x[i]))
+
+    def __call__(self, q: float) -> float:
+        return self.get_val(q)
+
+
+def table_lookup(xs, ys, q):
+    """Vectorized JAX equivalent of ``Table::GetVal``.
+
+    ``xs``/``ys`` are 1-D knot arrays (any jnp-compatible arrays), ``q`` is an
+    arbitrary-shape query array.  Branch order matches the reference exactly:
+    boundary checks win over the ascending bracket scan.
+    """
+    import jax.numpy as jnp
+
+    xs = jnp.asarray(xs)
+    ys = jnp.asarray(ys)
+    q = jnp.asarray(q)
+    n = xs.shape[0]
+    if n == 1:
+        return jnp.broadcast_to(ys[0], q.shape).astype(q.dtype)
+
+    qe = q[..., None]
+    bracket = (qe >= xs[:-1]) & (qe < xs[1:])           # (..., n-1)
+    has_bracket = jnp.any(bracket, axis=-1)
+    i_scan = jnp.argmax(bracket, axis=-1) + 1           # first match
+    i = jnp.where(q <= xs[0], 1,
+                  jnp.where(q >= xs[-1], n - 1,
+                            jnp.where(has_bracket, i_scan, n - 1)))
+    y_i = ys[i]
+    y_im1 = ys[i - 1]
+    x_i = xs[i]
+    x_im1 = xs[i - 1]
+    return y_i + (y_im1 - y_i) * (q - x_i) / (x_im1 - x_i)
+
+
+@dataclass
+class DeviceTable:
+    """Table knots staged as jnp arrays for in-graph lookup."""
+
+    xs: object
+    ys: object
+
+    @classmethod
+    def from_table(cls, t: Table, dtype=None) -> "DeviceTable":
+        import jax.numpy as jnp
+        dtype = dtype or jnp.float32
+        if t.is_zero:
+            return cls(jnp.zeros((1,), dtype), jnp.zeros((1,), dtype))
+        return cls(jnp.asarray(t.x, dtype), jnp.asarray(t.y, dtype))
+
+    def __call__(self, q):
+        return table_lookup(self.xs, self.ys, q)
