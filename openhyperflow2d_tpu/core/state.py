@@ -1,0 +1,236 @@
+"""Device-side solver state and static grid metadata pytrees.
+
+The reference's per-node array-of-structs (hyper_flow_node.hpp:138-239)
+splits into:
+
+* :class:`SolverState` — the dynamic carry of the time loop (conservative
+  variables, blending factors, primitives, gradients, transport properties,
+  flux vectors) as ``(NumEq|4, X, Y)`` / ``(X, Y)`` planes;
+* :class:`GridMeta` — read-only per-node metadata (condition bits, neighbor
+  flags, wall geometry) staged once;
+* :class:`SolverParams` — static compile-time configuration (hashable, used
+  as a closure constant so XLA specializes the kernel).
+
+All dynamic fields live in one dtype (float64 for CPU validation runs,
+float32/bfloat16 on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.tables import Table
+from . import flags as fl
+
+
+def _register(cls, data_fields, meta_fields=()):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields))
+    return cls
+
+
+@dataclass
+class SolverState:
+    """Dynamic carry of the inner iteration loop."""
+
+    S: jnp.ndarray        # (9, X, Y) conservative variables
+    beta: jnp.ndarray     # (9, X, Y) per-eq blending factors
+    A: jnp.ndarray        # (9, X, Y) x-flux (convective - viscous)
+    B: jnp.ndarray        # (9, X, Y) y-flux
+    F: jnp.ndarray        # (9, X, Y) axisymmetric flux
+    dSdx: jnp.ndarray     # (9, X, Y)
+    dSdy: jnp.ndarray     # (9, X, Y)
+    Src: jnp.ndarray      # (9, X, Y) sources (external + turbulence)
+    SrcAdd: jnp.ndarray   # (9, X, Y) wall / heat sources
+    U: jnp.ndarray        # (X, Y) primitives
+    V: jnp.ndarray
+    p: jnp.ndarray
+    Tg: jnp.ndarray
+    Yc: jnp.ndarray       # (4, X, Y) mass fractions
+    R: jnp.ndarray        # (X, Y) mixture gas constant
+    CP: jnp.ndarray
+    lam: jnp.ndarray
+    mu: jnp.ndarray
+    mu_t: jnp.ndarray
+    lam_t: jnp.ndarray
+    droYdx: jnp.ndarray   # (4, X, Y)
+    droYdy: jnp.ndarray
+    dUdx: jnp.ndarray     # (X, Y) velocity/temperature gradients
+    dUdy: jnp.ndarray
+    dVdx: jnp.ndarray
+    dVdy: jnp.ndarray
+    dTdx: jnp.ndarray
+    dTdy: jnp.ndarray
+    dkdx: jnp.ndarray     # turbulence gradients
+    dkdy: jnp.ndarray
+    depsdx: jnp.ndarray
+    depsdy: jnp.ndarray
+    y_plus: jnp.ndarray   # (X, Y)
+    Q_conv: jnp.ndarray   # (X, Y) wall convective heat flux
+    dt: jnp.ndarray       # scalar — dt for THIS iteration (one-iter lag)
+
+
+_register(SolverState, [f.name for f in dataclasses.fields(SolverState)])
+
+
+@dataclass
+class GridMeta:
+    """Static per-node metadata (device-resident, read-only)."""
+
+    CT: jnp.ndarray       # (X, Y) uint32 condition bits
+    TCT: jnp.ndarray      # (X, Y) uint32 turbulence condition bits
+    idXl: jnp.ndarray     # (X, Y) int8 neighbor-present flags
+    idXr: jnp.ndarray
+    idYu: jnp.ndarray
+    idYd: jnp.ndarray
+    NGX: jnp.ndarray      # (X, Y) int8
+    NGY: jnp.ndarray
+    BGX: jnp.ndarray      # (X, Y) wall cosines
+    BGY: jnp.ndarray
+    Uw: jnp.ndarray       # (X, Y) wall velocity
+    Vw: jnp.ndarray
+    l_min: jnp.ndarray    # (X, Y) wall distance
+    i_wall: jnp.ndarray   # (X, Y) int32
+    j_wall: jnp.ndarray
+
+
+_register(GridMeta, [f.name for f in dataclasses.fields(GridMeta)])
+
+
+@dataclass
+class ChemTables:
+    """Species property tables + constants staged on device.
+
+    Lookup order mirrors ChemicalReactionsModelData2D
+    (libDEEPS2D/deeps2d_core.hpp): per-species R (scalars), Cp/lam/mu
+    tables of temperature.
+    """
+
+    R_Fuel: jnp.ndarray
+    R_OX: jnp.ndarray
+    R_cp: jnp.ndarray
+    R_air: jnp.ndarray
+    # each table: (xs, ys) 1-D knot arrays
+    Cp_Fuel_x: jnp.ndarray
+    Cp_Fuel_y: jnp.ndarray
+    Cp_OX_x: jnp.ndarray
+    Cp_OX_y: jnp.ndarray
+    Cp_cp_x: jnp.ndarray
+    Cp_cp_y: jnp.ndarray
+    Cp_air_x: jnp.ndarray
+    Cp_air_y: jnp.ndarray
+    lam_Fuel_x: jnp.ndarray
+    lam_Fuel_y: jnp.ndarray
+    lam_OX_x: jnp.ndarray
+    lam_OX_y: jnp.ndarray
+    lam_cp_x: jnp.ndarray
+    lam_cp_y: jnp.ndarray
+    lam_air_x: jnp.ndarray
+    lam_air_y: jnp.ndarray
+    mu_Fuel_x: jnp.ndarray
+    mu_Fuel_y: jnp.ndarray
+    mu_OX_x: jnp.ndarray
+    mu_OX_y: jnp.ndarray
+    mu_cp_x: jnp.ndarray
+    mu_cp_y: jnp.ndarray
+    mu_air_x: jnp.ndarray
+    mu_air_y: jnp.ndarray
+
+    @classmethod
+    def from_tables(cls, R: dict, tables: dict, dtype=jnp.float64):
+        """Build from {species: R} and {(prop, species): Table}."""
+        kw = {}
+        for sp in ("Fuel", "OX", "cp", "air"):
+            kw[f"R_{sp}"] = jnp.asarray(R[sp], dtype)
+            for prop in ("Cp", "lam", "mu"):
+                t: Table = tables[(prop, sp)]
+                kw[f"{prop}_{sp}_x"] = jnp.asarray(t.x, dtype)
+                kw[f"{prop}_{sp}_y"] = jnp.asarray(t.y, dtype)
+        return cls(**kw)
+
+
+_register(ChemTables, [f.name for f in dataclasses.fields(ChemTables)])
+
+
+@dataclass(frozen=True)
+class SolverParams:
+    """Static (compile-time) solver configuration."""
+
+    MaxX: int
+    MaxY: int
+    dx: float
+    dy: float
+    ft: int = fl.FT_FLAT              # FlowType (flat / axisymmetric)
+    sm: int = fl.SM_EULER             # ProblemType (Euler / NS)
+    tem: int = fl.TEM_k_eps_Std       # TurbExtModel
+    bff: int = fl.BFF_SQR             # blending factor function
+    beta0: float = 0.9
+    nrbc_beta0: float = 0.25
+    CFL: float = 0.1
+    SigW: float = 1.0
+    SigF: float = 1.0
+    delta_bl: float = 0.0
+    K0: float = 0.0                   # stoichiometric OX/fuel ratio
+    gamma_c: float = 0.0              # chemistry completion factor
+    Tf: float = 0.0                   # ignition temperature
+    Ts0: float = 300.0
+    Hu: tuple = (0.0, 0.0, 0.0, 0.0)  # heats of formation (fu, ox, cp, air)
+    chemistry: int = fl.CRM_ZELDOVICH
+    isAdiabaticWall: bool = True
+    isAlternateRMS: bool = False
+    TurbStartIter: int = 0
+    isSrcAdd: bool = False
+    turb_mod: int = 0                 # deck TurbulenceModel id
+    dtype: str = "float64"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def state_from_grid(grid, params: SolverParams, dt0: float) -> SolverState:
+    """Stage a HostGrid's dynamic fields as a SolverState."""
+    dt = params.jdtype
+    X, Y = grid.MaxX, grid.MaxY
+    ne = fl.NUM_EQ
+
+    def a(x):
+        return jnp.asarray(x, dt)
+
+    z9 = jnp.zeros((ne, X, Y), dt)
+    z1 = jnp.zeros((X, Y), dt)
+    z4 = jnp.zeros((4, X, Y), dt)
+    return SolverState(
+        S=a(grid.S), beta=a(grid.beta), A=z9, B=z9, F=z9,
+        dSdx=z9, dSdy=z9, Src=a(grid.Src), SrcAdd=z9,
+        U=a(grid.U), V=a(grid.V), p=a(grid.p), Tg=a(grid.Tg),
+        Yc=a(grid.Y), R=a(grid.R), CP=a(grid.CP), lam=a(grid.lam),
+        mu=a(grid.mu), mu_t=a(grid.mu_t), lam_t=a(grid.lam_t),
+        droYdx=z4, droYdy=z4,
+        dUdx=z1, dUdy=z1, dVdx=z1, dVdy=z1, dTdx=z1, dTdy=z1,
+        dkdx=z1, dkdy=z1, depsdx=z1, depsdy=z1,
+        y_plus=a(grid.y_plus), Q_conv=z1,
+        dt=jnp.asarray(dt0, dt))
+
+
+def meta_from_grid(grid) -> GridMeta:
+    """Stage a HostGrid's static fields as a GridMeta."""
+    f8 = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    return GridMeta(
+        CT=jnp.asarray(fl.ct_to_uint32(grid.CT)),
+        TCT=jnp.asarray(grid.TCT.astype(np.uint32)),
+        idXl=jnp.asarray(grid.idXl.astype(np.int8)),
+        idXr=jnp.asarray(grid.idXr.astype(np.int8)),
+        idYu=jnp.asarray(grid.idYu.astype(np.int8)),
+        idYd=jnp.asarray(grid.idYd.astype(np.int8)),
+        NGX=jnp.asarray(grid.NGX), NGY=jnp.asarray(grid.NGY),
+        BGX=jnp.asarray(grid.BGX, f8), BGY=jnp.asarray(grid.BGY, f8),
+        Uw=jnp.asarray(grid.Uw, f8), Vw=jnp.asarray(grid.Vw, f8),
+        l_min=jnp.asarray(grid.l_min, f8),
+        i_wall=jnp.asarray(grid.i_wall), j_wall=jnp.asarray(grid.j_wall))

@@ -1,0 +1,358 @@
+"""The fused solver iteration: two-pass blending-factor explicit scheme.
+
+TPU-native re-implementation of the hot loops of ``DEEPS2D_Run``
+(libDEEPS2D/deeps2d_core.cpp:853-1334):
+
+* pass 1 — per-equation BC-flag decoding, stencil flux differences and the
+  superlocal blending-factor update rule
+  ``NextS = beta*S + (1-beta)*avg(S_nbrs) - dt/dx*dA - dt/dy*(dB + F/r)
+  + Src*dt + SrcAdd`` (1015-1021);
+* pass 2 — residual ``DD``, blending-factor (BFF_*) update (1078-1121), RMS
+  accumulation (1122-1153), commit (1156-1164), gradient recomputation
+  (1169-1237), ``FillNode2D``, local dt (1317-1327), chemistry (1328).
+
+The C++ sweeps nodes sequentially (Gauss–Seidel-flavoured within a strip);
+this implementation is a pure Jacobi update — every read is from the
+previous iterate — which converges to the same steady state (SURVEY §7:
+bit-exact order replication is impossible; validation is tolerance-based).
+
+All neighbor access uses edge-replicated shifts with the reference's
+neighbor-collapse flags (idXl/idXr/idYu/idYd), so the wall-adjacent stencil
+asymmetry (869-888) is preserved exactly.  Under `jit` with a sharded mesh,
+XLA turns the shifts into ICI halo exchanges automatically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config.tables import table_lookup
+from . import flags as fl
+from .physics import (calc_chemical_reactions, fill_node, iscond, node_masks,
+                      _safe_div)
+from .state import ChemTables, GridMeta, SolverParams, SolverState
+
+
+# ---------------------------------------------------------------------------
+# shifts (edge-replicated; out-of-range values are masked by idX*/idY*)
+# ---------------------------------------------------------------------------
+def shift_xl(q):
+    """Value of the left (i-1) neighbor."""
+    return jnp.concatenate([q[..., :1, :], q[..., :-1, :]], axis=-2)
+
+
+def shift_xr(q):
+    """Value of the right (i+1) neighbor."""
+    return jnp.concatenate([q[..., 1:, :], q[..., -1:, :]], axis=-2)
+
+
+def shift_yd(q):
+    """Value of the down (j-1) neighbor."""
+    return jnp.concatenate([q[..., :, :1], q[..., :, :-1]], axis=-1)
+
+
+def shift_yu(q):
+    """Value of the up (j+1) neighbor."""
+    return jnp.concatenate([q[..., :, 1:], q[..., :, -1:]], axis=-1)
+
+
+def neighbors(q, idXl, idXr, idYu, idYd):
+    """Left/Right/Up/Down neighbor values with wall collapse
+    (N1 = i - idXl etc., deeps2d_core.cpp:869-888)."""
+    L = jnp.where(idXl, shift_xl(q), q)
+    Rn = jnp.where(idXr, shift_xr(q), q)
+    Up = jnp.where(idYu, shift_yu(q), q)
+    Dn = jnp.where(idYd, shift_yd(q), q)
+    return L, Rn, Up, Dn
+
+
+def eq_masks(meta: GridMeta, params: SolverParams):
+    """Per-equation BC masks, shape (9, X, Y) bools.
+
+    Decodes the bit-flag scheme of pass 1 (deeps2d_core.cpp:893-991):
+    ``c`` = Dirichlet (skip update), ``dxn/dyn`` = Neumann (average instead
+    of flux difference), ``dx2/dy2`` = soft second-order BC.
+    ``act`` marks equations actually solved on the node (Num_Eq truncation
+    via SetTurbulenceModel, 4683-4695).  ``ddc`` is the pass-2 DD/beta gate
+    constant — which for the turbulence equations tests *CT* bits
+    (reference quirk at 1075, kept for fidelity).
+    """
+    ct, tct = meta.CT, meta.TCT
+    X = ct.shape
+    c, dxn, dyn, dx2, dy2, act, ddc = [], [], [], [], [], [], []
+    for k in range(4):
+        c.append(iscond(ct, fl.CT_Rho_CONST_2D << k))
+        dxn.append(iscond(ct, fl.CT_dRhodx_NULL_2D << k))
+        dyn.append(iscond(ct, fl.CT_dRhody_NULL_2D << k))
+        dx2.append(iscond(ct, fl.CT_d2Rhodx2_NULL_2D << k))
+        dy2.append(iscond(ct, fl.CT_d2Rhody2_NULL_2D << k))
+        act.append(jnp.ones(X, bool))
+        ddc.append(c[-1])
+    for k in range(4, 7):
+        c.append(iscond(ct, fl.CT_Y_CONST_2D))
+        dxn.append(iscond(ct, fl.CT_dYdx_NULL_2D))
+        dyn.append(iscond(ct, fl.CT_dYdy_NULL_2D))
+        dx2.append(iscond(ct, fl.CT_d2Ydx2_NULL_2D))
+        dy2.append(iscond(ct, fl.CT_d2Ydy2_NULL_2D))
+        act.append(jnp.ones(X, bool))
+        ddc.append(c[-1])
+    keps = iscond(tct, fl.TCT_k_eps_Model_2D)
+    sa = iscond(tct, fl.TCT_Spalart_Allmaras_Model_2D)
+    turb2 = (keps | sa) if params.sm == fl.SM_NS else jnp.zeros(X, bool)
+    for k in range(7, 9):
+        s = k - 7
+        c.append(iscond(tct, fl.TCT_k_CONST_2D << s))
+        dxn.append(iscond(tct, fl.TCT_dkdx_NULL_2D << s))
+        dyn.append(iscond(tct, fl.TCT_dkdy_NULL_2D << s))
+        dx2.append(iscond(tct, fl.TCT_d2kdx2_NULL_2D << s))
+        dy2.append(iscond(tct, fl.TCT_d2kdy2_NULL_2D << s))
+        act.append(turb2 if k == 7 else
+                   (keps if params.sm == fl.SM_NS else jnp.zeros(X, bool)))
+        # reference pass-2 gate tests CT (not TCT) for these equations
+        ddc.append(iscond(ct, fl.TCT_k_CONST_2D << s))
+    return (jnp.stack(c), jnp.stack(dxn), jnp.stack(dyn), jnp.stack(dx2),
+            jnp.stack(dy2), jnp.stack(act), jnp.stack(ddc))
+
+
+@dataclass(frozen=True)
+class StepAux:
+    """Traced per-iteration scalars."""
+    beta_scen: object   # beta_Scenario(iter+last_iter)
+    cfl_scen: object    # CFL_Scenario(iter+last_iter)
+    is_mu_t_iter: object  # bool scalar: iter+last_iter >= TurbStartIter
+
+
+jax.tree_util.register_dataclass(
+    StepAux, data_fields=["beta_scen", "cfl_scen", "is_mu_t_iter"],
+    meta_fields=[])
+
+
+def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
+                chem: ChemTables, aux: StepAux):
+    """One inner iteration.  Returns (new_state, diagnostics dict)."""
+    p = params
+    dt_ = state.dt
+    dtype = state.S.dtype
+    dtdx = dt_ / p.dx
+    dtdy = dt_ / p.dy
+    dxx = p.dy / (p.dx + p.dy)   # neighbor-average weights (643-644)
+    dyy = p.dx / (p.dx + p.dy)
+
+    solid, is_set, fc, active = node_masks(meta)
+    cmask, dxn, dyn, dx2m, dy2m, eact, ddc = eq_masks(meta, p)
+
+    idXl = (meta.idXl != 0)
+    idXr = (meta.idXr != 0)
+    idYu = (meta.idYu != 0)
+    idYd = (meta.idYd != 0)
+    n1 = meta.idXl.astype(dtype)
+    n2 = meta.idXr.astype(dtype)
+    n3 = meta.idYu.astype(dtype)
+    n4 = meta.idYd.astype(dtype)
+    n_n = jnp.maximum(n1 + n2, 1.0)
+    m_m = jnp.maximum(n3 + n4, 1.0)
+
+    evolve = active[None] & eact & ~cmask          # (9, X, Y)
+
+    # ---------------- PASS 1 (853-1026) -----------------------------------
+    S = state.S
+    S_L, S_R, S_U, S_D = neighbors(S, idXl, idXr, idYu, idYd)
+    A_L, A_R, _, _ = neighbors(state.A, idXl, idXr, idYu, idYd)
+    _, _, B_U, B_D = neighbors(state.B, idXl, idXr, idYu, idYd)
+
+    dSdx_new = jnp.where(evolve & dxn, (A_R - A_L) / n_n,
+                         jnp.where(evolve, 0.0, state.dSdx))
+    dSdy_new = jnp.where(evolve & dyn, (B_U - B_D) / m_m,
+                         jnp.where(evolve, 0.0, state.dSdy))
+
+    # Neumann averaging mutates S before the blend (996-1006); x first, y
+    # overrides if both flags are clear.
+    S_eff = jnp.where(evolve & ~dxn, (S_L * n2 + S_R * n1) / n_n, S)
+    S_eff = jnp.where(evolve & ~dyn, (S_U * n3 + S_D * n4) / m_m, S_eff)
+
+    dSdx_L, dSdx_R, _, _ = neighbors(dSdx_new, idXl, idXr, idYu, idYd)
+    _, _, dSdy_U, dSdy_D = neighbors(dSdy_new, idXl, idXr, idYu, idYd)
+    dXX = jnp.where(dx2m, (dSdx_L + dSdx_R) * 0.5, dSdx_new)
+    dYY = jnp.where(dy2m, (dSdy_U + dSdy_D) * 0.5, dSdy_new)
+
+    beta = state.beta
+    blend = (dxx * (S_L + S_R) + dyy * (S_U + S_D)) * 0.5
+    if p.ft == fl.FT_AXISYMMETRIC:
+        jp1 = (jnp.arange(p.MaxY, dtype=dtype) + 1.0)[None, None, :]
+        y_term = dYY + state.F / jp1
+    else:
+        y_term = dYY
+    next_s = (S_eff * beta + (1.0 - beta) * blend
+              - (dtdx * dXX + dtdy * y_term)
+              + state.Src * dt_ + state.SrcAdd)
+    next_s = jnp.where(evolve, next_s, S_eff)
+
+    # ---------------- PASS 2: DD / beta / RMS / commit (1062-1164) ---------
+    tmp = S_eff
+    abs_dd = next_s - tmp
+    big = jnp.abs(tmp) > 1.e-15
+    dd_local = jnp.where(big, jnp.abs(_safe_div(abs_dd, tmp)), 1.0)
+    sqrt_res = jnp.where(big, jnp.sqrt(dd_local), 0.0)
+
+    beta_min = jnp.minimum(jnp.asarray(p.beta0, dtype), aux.beta_scen)
+    nrbc = iscond(meta.CT, fl.CT_NONREFLECTED_2D)
+    beta_min = jnp.where(nrbc, jnp.asarray(p.nrbc_beta0, dtype),
+                         beta_min)[None]
+    if p.bff == fl.BFF_L:
+        new_beta = jnp.minimum(beta_min,
+                               beta_min ** 2 / (beta_min + dd_local))
+    elif p.bff == fl.BFF_LR:
+        new_beta = jnp.minimum((beta_min + beta) * 0.5,
+                               beta_min ** 2 / (beta_min + dd_local))
+    elif p.bff == fl.BFF_S:
+        new_beta = jnp.minimum(beta_min,
+                               beta_min ** 2 / (beta_min + dd_local ** 2))
+    elif p.bff == fl.BFF_SR:
+        new_beta = jnp.minimum((beta_min + beta) * 0.5,
+                               beta_min ** 2 / (beta_min + dd_local ** 2))
+    elif p.bff == fl.BFF_SQR:
+        new_beta = jnp.minimum(beta_min,
+                               beta_min ** 2 / (beta_min + sqrt_res))
+    elif p.bff == fl.BFF_SQRR:
+        new_beta = jnp.minimum((beta_min + beta) * 0.5,
+                               beta_min ** 2 / (beta_min + sqrt_res))
+    else:
+        new_beta = beta
+
+    dd_gate = active[None] & eact & ~ddc & (tmp != 0.0)
+    beta_out = jnp.where(dd_gate, new_beta, beta)
+
+    if p.isAlternateRMS:
+        rms = jnp.sum(jnp.where(dd_gate, abs_dd * abs_dd, 0.0),
+                      axis=(-2, -1))
+        sum_div = jnp.sum(jnp.where(dd_gate, tmp * tmp, 0.0), axis=(-2, -1))
+        rms_out = jnp.where((rms > 0) & (sum_div > 0),
+                            jnp.sqrt(_safe_div(rms, sum_div)), rms)
+    else:
+        rms = jnp.sum(jnp.where(dd_gate, dd_local * dd_local, 0.0),
+                      axis=(-2, -1))
+        irms = jnp.sum(dd_gate, axis=(-2, -1)).astype(dtype)
+        rms_out = jnp.where(irms > 0, jnp.sqrt(_safe_div(rms, irms)), rms)
+    dd_max = jnp.max(jnp.where(dd_gate, dd_local, 0.0), axis=(-2, -1))
+
+    S_committed = jnp.where(evolve, next_s, S_eff)
+
+    # ---------------- PASS 2: gradients (1169-1237) ------------------------
+    st = state
+    if p.sm == fl.SM_NS:
+        dx1nn = 1.0 / (p.dx * n_n)
+        dy1mm = 1.0 / (p.dy * m_m)
+        Sc_L, Sc_R, Sc_U, Sc_D = neighbors(S_committed, idXl, idXr, idYu,
+                                           idYd)
+        rho_c = S_committed[fl.i2d_Rho]
+        rho_cs = jnp.where(rho_c != 0, rho_c, 1)
+
+        dydx_ok = ~iscond(meta.CT, fl.CT_dYdx_NULL_2D)
+        dydy_ok = ~iscond(meta.CT, fl.CT_dYdy_NULL_2D)
+        droYdx = st.droYdx
+        droYdy = st.droYdy
+        air_R = Sc_R[fl.i2d_Rho]
+        air_L = Sc_L[fl.i2d_Rho]
+        air_U = Sc_U[fl.i2d_Rho]
+        air_D = Sc_D[fl.i2d_Rho]
+        for k in range(4, 7):
+            gx = (Sc_R[k] - Sc_L[k]) * dx1nn
+            gy = (Sc_U[k] - Sc_D[k]) * dy1mm
+            droYdx = droYdx.at[k - 4].set(
+                jnp.where(active & dydx_ok, gx, st.droYdx[k - 4]))
+            droYdy = droYdy.at[k - 4].set(
+                jnp.where(active & dydy_ok, gy, st.droYdy[k - 4]))
+            air_R = air_R - jnp.where(dydx_ok, Sc_R[k], 0.0)
+            air_L = air_L - jnp.where(dydx_ok, Sc_L[k], 0.0)
+            air_U = air_U - jnp.where(dydy_ok, Sc_U[k], 0.0)
+            air_D = air_D - jnp.where(dydy_ok, Sc_D[k], 0.0)
+        droYdx = droYdx.at[fl.NUM_COMPONENTS].set(
+            jnp.where(active & dydx_ok, (air_R - air_L) * dx1nn,
+                      jnp.where(active, 0.0, st.droYdx[fl.NUM_COMPONENTS])))
+        droYdy = droYdy.at[fl.NUM_COMPONENTS].set(
+            jnp.where(active & dydy_ok, (air_U - air_D) * dy1mm,
+                      jnp.where(active, 0.0, st.droYdy[fl.NUM_COMPONENTS])))
+
+        wall = (iscond(meta.CT, fl.CT_WALL_NO_SLIP_2D)
+                | iscond(meta.CT, fl.CT_WALL_LAW_2D))
+        U_L, U_R, U_U, U_D = neighbors(st.U, idXl, idXr, idYu, idYd)
+        V_L, V_R, V_U, V_D = neighbors(st.V, idXl, idXr, idYu, idYd)
+
+        def grad_x(qr, ql):
+            # wall nodes use the asymmetric n1*right - n2*left weighting
+            return jnp.where(wall, (qr * n1 - ql * n2) * dx1nn,
+                             (qr - ql) * dx1nn)
+
+        def grad_y(qu, qd):
+            return jnp.where(wall, (qu * n3 - qd * n4) * dy1mm,
+                             (qu - qd) * dy1mm)
+
+        dUdx = jnp.where(active, grad_x(U_R, U_L), st.dUdx)
+        dVdx = jnp.where(active, grad_x(V_R, V_L), st.dVdx)
+        dUdy = jnp.where(active, grad_y(U_U, U_D), st.dUdy)
+        dVdy = jnp.where(active, grad_y(V_U, V_D), st.dVdy)
+
+        keps = iscond(meta.TCT, fl.TCT_k_eps_Model_2D)
+        sa = iscond(meta.TCT, fl.TCT_Spalart_Allmaras_Model_2D)
+        km = active & (keps | sa)
+        dkdx = jnp.where(km, grad_x(Sc_R[fl.i2d_k], Sc_L[fl.i2d_k]) / rho_cs,
+                         st.dkdx)
+        dkdy = jnp.where(km, grad_y(Sc_U[fl.i2d_k], Sc_D[fl.i2d_k]) / rho_cs,
+                         st.dkdy)
+        em = active & keps
+        depsdx = jnp.where(em, grad_x(Sc_R[fl.i2d_eps],
+                                      Sc_L[fl.i2d_eps]) / rho_cs, st.depsdx)
+        depsdy = jnp.where(em, grad_y(Sc_U[fl.i2d_eps],
+                                      Sc_D[fl.i2d_eps]) / rho_cs, st.depsdy)
+
+        Tg_L, Tg_R, Tg_U, Tg_D = neighbors(st.Tg, idXl, idXr, idYu, idYd)
+        dTdx = jnp.where(active, (Tg_R - Tg_L) * dx1nn, st.dTdx)
+        dTdy = jnp.where(active, (Tg_U - Tg_D) * dy1mm, st.dTdy)
+    else:
+        droYdx, droYdy = st.droYdx, st.droYdy
+        dUdx, dUdy, dVdx, dVdy = st.dUdx, st.dUdy, st.dVdx, st.dVdy
+        dTdx, dTdy = st.dTdx, st.dTdy
+        dkdx, dkdy, depsdx, depsdy = st.dkdx, st.dkdy, st.depsdx, st.depsdy
+
+    mid = SolverState(
+        S=S_committed, beta=beta_out, A=st.A, B=st.B, F=st.F,
+        dSdx=dSdx_new, dSdy=dSdy_new, Src=st.Src, SrcAdd=st.SrcAdd,
+        U=st.U, V=st.V, p=st.p, Tg=st.Tg, Yc=st.Yc, R=st.R, CP=st.CP,
+        lam=st.lam, mu=st.mu, mu_t=st.mu_t, lam_t=st.lam_t,
+        droYdx=droYdx, droYdy=droYdy,
+        dUdx=dUdx, dUdy=dUdy, dVdx=dVdx, dVdy=dVdy, dTdx=dTdx, dTdy=dTdy,
+        dkdx=dkdx, dkdy=dkdy, depsdx=depsdx, depsdy=depsdy,
+        y_plus=st.y_plus, Q_conv=st.Q_conv, dt=st.dt)
+
+    # ---------------- FillNode2D (1240-1244, 1330-1331) --------------------
+    # active nodes: is_mu_t iff iter+last_iter >= TurbStartIter;
+    # NT_FC nodes: always refreshed with is_mu_t=1.
+    is_mu_t = jnp.where(fc, True, aux.is_mu_t_iter)
+    filled = fill_node(mid, meta, p, is_mu_t, is_init=False)
+
+    unstable = jnp.any(active & (filled.Tg < 0.0))
+
+    # ---------------- local dt (1317-1327) ---------------------------------
+    cfl_min = jnp.minimum(jnp.asarray(p.CFL, dtype), aux.cfl_scen)
+    k_new = _safe_div(filled.CP, filled.CP - filled.R, 2.0)
+    aaa = jnp.sqrt(jnp.maximum(k_new * filled.R * filled.Tg, 0.0))
+    dt_nodes = cfl_min * jnp.minimum(p.dx / (aaa + jnp.abs(filled.U)),
+                                     p.dy / (aaa + jnp.abs(filled.V)))
+    dt_new = jnp.minimum(1.0, jnp.min(jnp.where(active, dt_nodes, 1.0)))
+
+    # ---------------- chemistry (1328) -------------------------------------
+    out = calc_chemical_reactions(filled, meta, p, chem, active)
+    out = SolverState(**{**out.__dict__, "dt": dt_new.astype(dtype)})
+
+    diag = {
+        "RMS": rms_out,
+        "DD_max": dd_max,
+        "dt_used": dt_,
+        "dt_next": dt_new,
+        "unstable": unstable,
+    }
+    return out, diag

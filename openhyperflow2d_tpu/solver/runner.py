@@ -1,0 +1,186 @@
+"""Time-marching driver: the DEEPS2D_Run equivalent.
+
+Structure mirrors the reference (deeps2d_core.cpp:512-2023): an outer cycle
+of ``Nstep`` inner iterations.  The inner loop is one ``lax.scan`` compiled
+end-to-end (the whole two-pass scheme + physics per iteration); the outer
+cycle returns to Python for output, monitors, checkpointing and the exit
+condition — exactly the points where the reference does rank-0 work.
+
+Per-iteration diagnostics (RMS per equation, dt) stream out of the scan as
+stacked arrays, so RMS files can be written with NOutStep granularity
+without host round-trips inside the loop.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import flags as fl
+from ..core.physics import fill_node, node_masks
+from ..core.state import (ChemTables, GridMeta, SolverParams, SolverState,
+                          meta_from_grid, state_from_grid)
+from ..core.step import StepAux, solver_step
+from .init import Case, chem_tables_device
+
+
+@dataclass
+class RunStats:
+    iters: int = 0
+    global_time: float = 0.0
+    rms_history: list = field(default_factory=list)   # (iter, RMS[9])
+    monitors: list = field(default_factory=list)
+    steps_per_sec: float = 0.0
+    unstable: bool = False
+
+
+def _scan_fn(meta, params, chem, beta_xs, beta_ys, cfl_xs, cfl_ys,
+             turb_start, state, it):
+    from ..config.tables import table_lookup
+    itf = it.astype(state.S.dtype)
+    aux = StepAux(
+        beta_scen=table_lookup(beta_xs, beta_ys, itf),
+        cfl_scen=table_lookup(cfl_xs, cfl_ys, itf),
+        is_mu_t_iter=(it >= turb_start))
+    new_state, diag = solver_step(state, meta, params, chem, aux)
+    out = {"RMS": diag["RMS"], "dt_used": diag["dt_used"],
+           "unstable": diag["unstable"]}
+    return new_state, out
+
+
+class Solver:
+    """Single-driver solver over one (possibly sharded) device state."""
+
+    def __init__(self, case: Case, shardings=None):
+        self.case = case
+        p = case.params
+        self.params = p
+        dtype = p.jdtype
+        self.meta = meta_from_grid(case.grid)
+        self.chem = chem_tables_device(case.chem, dtype)
+        self.state = state_from_grid(case.grid, p, case.dt0)
+        self.beta_xs = jnp.asarray(case.beta_scenario.x, dtype)
+        self.beta_ys = jnp.asarray(case.beta_scenario.y, dtype)
+        self.cfl_xs = jnp.asarray(case.cfl_scenario.x, dtype)
+        self.cfl_ys = jnp.asarray(case.cfl_scenario.y, dtype)
+        self.last_iter = 0
+        self.global_time = float(case.deck.get_float("InitTime", 0.0,
+                                                     required=False))
+        self.current_time_part = 0.0
+        self.stats = RunStats()
+        self.shardings = shardings
+        if shardings is not None:
+            self.meta = jax.device_put(self.meta, shardings["meta"])
+            self.state = jax.device_put(self.state, shardings["state"])
+
+        # initial FillNode2D(0,1) — run after staging so the device state
+        # gets fluxes + turbulence init exactly once (deeps2d_core.cpp:4565)
+        self._init_fill = jax.jit(partial(fill_node, meta=self.meta,
+                                          params=p,
+                                          is_mu_t=jnp.zeros(
+                                              (p.MaxX, p.MaxY), bool),
+                                          is_init=True))
+        self.state = self._init_fill(self.state)
+
+        self._chunk_fn = jax.jit(self._make_chunk_fn(), static_argnums=(1,))
+
+    def _make_chunk_fn(self):
+        meta, params, chem = self.meta, self.params, self.chem
+        beta_xs, beta_ys = self.beta_xs, self.beta_ys
+        cfl_xs, cfl_ys = self.cfl_xs, self.cfl_ys
+        turb_start = params.TurbStartIter
+
+        def chunk(state, n_iters: int, start_iter):
+            its = start_iter + jnp.arange(n_iters)
+            body = partial(_scan_fn, meta, params, chem, beta_xs, beta_ys,
+                           cfl_xs, cfl_ys, turb_start)
+            return jax.lax.scan(body, state, its)
+
+        return chunk
+
+    def run_iters(self, n_iters: int):
+        """Run ``n_iters`` inner iterations; returns stacked diagnostics."""
+        state, diags = self._chunk_fn(self.state, n_iters,
+                                      jnp.asarray(self.last_iter))
+        jax.block_until_ready(state)
+        self.state = state
+        self.last_iter += n_iters
+        dts = np.asarray(diags["dt_used"])
+        self.current_time_part += float(dts.sum())
+        return diags
+
+    def run_cycle(self):
+        """One outer cycle = Nstep inner iterations + host-side bookkeeping.
+        Returns (diags, seconds)."""
+        t0 = time.time()
+        diags = self.run_iters(self.case.Nstep)
+        dt_wall = time.time() - t0
+        self.global_time += self.current_time_part
+        self.current_time_part = 0.0
+        self.stats.iters = self.last_iter
+        self.stats.steps_per_sec = self.case.Nstep / max(dt_wall, 1e-9)
+        self.stats.unstable = bool(np.asarray(diags["unstable"]).any())
+        return diags, dt_wall
+
+    # ------------------------------------------------------------------
+    def monitor_condition(self, diags) -> bool:
+        """Exit test (deeps2d_core.cpp:1870-1883): continue while true."""
+        mi = self.case.MonitorIndex
+        emv = self.case.ExitMonitorValue
+        rms = np.asarray(diags["RMS"])[-1]     # last iteration of the cycle
+        if mi == 5:
+            return self.global_time < emv
+        if mi == 0:
+            return float(rms.max()) > emv
+        return float(rms[mi - 1]) > emv
+
+    def max_rms(self, diags):
+        rms = np.asarray(diags["RMS"])[-1]
+        mi = self.case.MonitorIndex
+        if mi == 0 or mi > 4:
+            return float(rms.max()), int(rms.argmax())
+        return float(rms[mi - 1]), mi - 1
+
+    def host_state(self):
+        """Fetch the dynamic state back to numpy (for output/checkpoint)."""
+        return jax.tree.map(np.asarray, self.state)
+
+    def probe(self, x: float, y: float):
+        """Monitor-point p/T (deeps2d_core.cpp:1470-1473)."""
+        p = self.params
+        i = int((x - p.dx * 0.5) / p.dx)
+        j = int(y / p.dy)
+        i = min(max(i, 0), p.MaxX - 1)
+        j = min(max(j, 0), p.MaxY - 1)
+        return (float(self.state.p[i, j]), float(self.state.Tg[i, j]))
+
+
+def run_case(case: Case, max_cycles: int = None, verbose: bool = True,
+             on_cycle=None):
+    """Full run loop with the reference's exit semantics."""
+    solver = Solver(case)
+    cycles = 0
+    while True:
+        diags, secs = solver.run_cycle()
+        cycles += 1
+        mrms, k = solver.max_rms(diags)
+        if verbose:
+            print(f"Cycle {cycles}: iter={solver.last_iter} "
+                  f"maxRMS[{k}]={mrms * 100:.5f}% "
+                  f"t={solver.global_time:.6f}s "
+                  f"({solver.stats.steps_per_sec:.1f} step/sec)")
+        if on_cycle is not None:
+            on_cycle(solver, diags)
+        if solver.stats.unstable:
+            print("ERROR: Computational instability (Tg < 0)")
+            break
+        if not solver.monitor_condition(diags):
+            break
+        if max_cycles is not None and cycles >= max_cycles:
+            break
+    return solver
