@@ -187,6 +187,11 @@ class SolverParams:
     TurbStartIter: int = 0
     isSrcAdd: bool = False
     turb_mod: int = 0                 # deck TurbulenceModel id
+    # The serial (non-MPI) reference build never resets its dt_min
+    # accumulator (deeps2d_core.cpp:846-852), so dt decreases monotonically;
+    # the MPI build recomputes it every iteration.  MPI semantics are
+    # canonical here; enable this flag to replicate serial golden runs.
+    serial_dt_mode: bool = False
     dtype: str = "float64"
 
     @property

@@ -343,6 +343,8 @@ def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
     dt_nodes = cfl_min * jnp.minimum(p.dx / (aaa + jnp.abs(filled.U)),
                                      p.dy / (aaa + jnp.abs(filled.V)))
     dt_new = jnp.minimum(1.0, jnp.min(jnp.where(active, dt_nodes, 1.0)))
+    if p.serial_dt_mode:
+        dt_new = jnp.minimum(dt_new, dt_)
 
     # ---------------- chemistry (1328) -------------------------------------
     out = calc_chemical_reactions(filled, meta, p, chem, active)

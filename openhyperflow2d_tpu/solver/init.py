@@ -220,7 +220,8 @@ def _resolve_bound_flow(deck: Deck, key_prefix: str, flow_list, flow2d_list):
     raise ValueError(f"Bad Flow index for {key_prefix}")
 
 
-def build_case(deck: Deck, dtype: str = "float64") -> Case:
+def build_case(deck: Deck, dtype: str = "float64",
+               serial_dt_mode: bool = False) -> Case:
     chem = load_chem_data(deck)
     MaxX = deck.get_int("MaxX")
     MaxY = deck.get_int("MaxY")
@@ -248,7 +249,7 @@ def build_case(deck: Deck, dtype: str = "float64") -> Case:
         isAdiabaticWall=bool(deck.get_int("isAdiabaticWall")),
         isAlternateRMS=bool(deck.get_int("isAlternateRMS")),
         TurbStartIter=deck.get_int("TurbStartIter"),
-        turb_mod=turb_mod, dtype=dtype)
+        turb_mod=turb_mod, serial_dt_mode=serial_dt_mode, dtype=dtype)
 
     flow_list, flow2d_list = load_flows(deck, chem)
 
