@@ -164,15 +164,18 @@ def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
     A_L, A_R, _, _ = neighbors(state.A, idXl, idXr, idYu, idYd)
     _, _, B_U, B_D = neighbors(state.B, idXl, idXr, idYu, idYd)
 
-    dSdx_new = jnp.where(evolve & dxn, (A_R - A_L) / n_n,
+    # dxn/dyn masks are "Neumann flag present": flag absent -> flux
+    # difference, flag present -> neighbor average + zero gradient
+    # (deeps2d_core.cpp:940-1007).
+    dSdx_new = jnp.where(evolve & ~dxn, (A_R - A_L) / n_n,
                          jnp.where(evolve, 0.0, state.dSdx))
-    dSdy_new = jnp.where(evolve & dyn, (B_U - B_D) / m_m,
+    dSdy_new = jnp.where(evolve & ~dyn, (B_U - B_D) / m_m,
                          jnp.where(evolve, 0.0, state.dSdy))
 
     # Neumann averaging mutates S before the blend (996-1006); x first, y
-    # overrides if both flags are clear.
-    S_eff = jnp.where(evolve & ~dxn, (S_L * n2 + S_R * n1) / n_n, S)
-    S_eff = jnp.where(evolve & ~dyn, (S_U * n3 + S_D * n4) / m_m, S_eff)
+    # overrides if both flags are set.
+    S_eff = jnp.where(evolve & dxn, (S_L * n2 + S_R * n1) / n_n, S)
+    S_eff = jnp.where(evolve & dyn, (S_U * n3 + S_D * n4) / m_m, S_eff)
 
     dSdx_L, dSdx_R, _, _ = neighbors(dSdx_new, idXl, idXr, idYu, idYd)
     _, _, dSdy_U, dSdy_D = neighbors(dSdy_new, idXl, idXr, idYu, idYd)
