@@ -1,0 +1,54 @@
+"""Benchmark harness: cell-updates/sec/chip on the reacting RANS case.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N}.  The primary metric is GCUPS/chip (BASELINE.md): grid
+cells x iterations / seconds / 1e9 / chips, measured on the largest
+reacting RANS (k-eps) case that fits, after a warmup compile.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    size = int(os.environ.get("BENCH_SIZE", "2048"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+
+    import jax
+    from openhyperflow2d_tpu.examples import reacting_rans_deck
+    from openhyperflow2d_tpu.solver.init import build_case
+    from openhyperflow2d_tpu.solver.runner import Solver
+
+    n_chips = len(jax.devices())
+    deck = reacting_rans_deck(size, size)
+    case = build_case(deck, dtype=dtype)
+    solver = Solver(case)
+
+    # warmup (compile + first steps)
+    solver.run_iters(3)
+
+    t0 = time.time()
+    solver.run_iters(iters)
+    dt_wall = time.time() - t0
+
+    steps_per_sec = iters / dt_wall
+    gcups = size * size * steps_per_sec / 1e9 / max(n_chips, 1)
+
+    result = {
+        "metric": f"GCUPS/chip ({size}x{size} reacting RANS, {dtype}, "
+                  f"{n_chips} chip)",
+        "value": round(gcups, 4),
+        "unit": "Gcell-updates/s/chip",
+        "vs_baseline": round(gcups / 2.0, 4),   # target: 2 GCUPS/chip
+        "steps_per_sec": round(steps_per_sec, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Programmatic example decks (uniform stream, shock layer, benchmark cases).
+
+These build deck *text* in the reference format, so the whole pipeline
+(parser -> geometry -> solver) is exercised even for synthetic cases.
+"""
+
+from __future__ import annotations
+
+from .config.deck import Deck, parse_deck
+
+AIR_TABLES = """
+<data/H_cp=0.0>
+<data/R_cp=428.59>
+<table=lam_cp/2>
+300. 0.026
+3000. 0.38
+<endtable>
+<table=mu_cp/2>
+300. 1.8e-5
+3000. 9e-5
+<endtable>
+<table=Cp_cp/2>
+300. 1557.
+3000. 1924.
+<endtable>
+<data/H_Fuel=0.0>
+<data/R_Fuel=4157.0>
+<table=lam_Fuel/2>
+220. 0.15
+1000. 0.45
+<endtable>
+<table=mu_Fuel/2>
+20. 2.5e-6
+2000. 33.6e-6
+<endtable>
+<table=Cp_Fuel/2>
+20. 10000.
+1500. 16050.
+<endtable>
+<data/H_OX=0.0>
+<data/R_OX=290.0>
+<table=lam_OX/2>
+200. 0.018
+1800. 0.116
+<endtable>
+<table=mu_OX/2>
+200. 1.3e-5
+1800. 6e-5
+<endtable>
+<table=Cp_OX/2>
+200. 1052.
+1800. 1398.
+<endtable>
+<data/H_air=0.>
+<data/R_air=287.05>
+<table=lam_air/2>
+90. 0.015
+3500. 0.17341
+<endtable>
+<table=mu_air/2>
+90. 5.0e-6
+3500. 93.149e-6
+<endtable>
+<table=Cp_air/2>
+90. 1004.
+3500. 1004.
+<endtable>
+"""
+
+
+def channel_deck(nx: int = 64, ny: int = 64, u: float = 500.0,
+                 v: float = 0.0, problem_type: int = 0, turb_model: int = 0,
+                 turb_ext_model: int = 0, flow_type: int = 0,
+                 mach2_v: float = None, cfl: float = 0.5,
+                 beta: float = 0.98, bff: int = 4, nmax: int = 100,
+                 with_rect: bool = False) -> Deck:
+    """A supersonic channel: inflow at x=0 and (optionally deflected) top
+    stream, D0X outflow, D0Y bottom — the ObliqueShock topology at an
+    arbitrary size.  Optionally drops a solid rectangle into the stream
+    (duct-narrowing / bluff-body benchmark config)."""
+    dx = dy = 0.01
+    lx, ly = nx * dx, ny * dy
+    v2 = mach2_v if mach2_v is not None else v
+    rect = ""
+    nrects = 0
+    if with_rect:
+        nrects = 1
+        rect = f"""
+<data/Rect1.Xstart={lx * 0.3}>
+<data/Rect1.Ystart=0.0>
+<data/Rect1.DX={lx * 0.1}>
+<data/Rect1.DY={ly * 0.25}>
+<data/Rect1.Flow2D=1>
+<data/Rect1.TurbulenceModel={turb_model}>
+"""
+    text = f"""
+<start/Channel>
+<data/ProjectName=Channel>
+<data/isVerboseOutput=0>
+<data/BFF={bff}>
+<data/MaxX={nx}>
+<data/MaxY={ny}>
+<data/dx={dx}>
+<data/dy={dy}>
+<data/SigW=1.0>
+<data/SigF=1.0>
+<data/delta_bl=0.05>
+<data/TurbulenceModel={turb_model}>
+<data/TurbStartIter=2>
+<data/TurbExtModel={turb_ext_model}>
+<data/isTurbulenceReset=1>
+<data/FlowType={flow_type}>
+<data/ProblemType={problem_type}>
+<data/CFL={cfl}>
+<table=CFL_Scenario/1>
+0 {cfl}
+<endtable>
+<data/NSaveStep=1>
+<data/Nmax={nmax}>
+<data/NOutStep=10>
+<data/isAlternateRMS=1>
+<data/isIgnoreUnsetNodes=0>
+<data/MonitorIndex=5>
+<data/ExitMonitorValue=1.0>
+<data/NumMonitorPoints=0>
+<data/beta={beta}>
+<data/beta_NonReflectedBC=0.25>
+<table=beta_Scenario/1>
+0 {beta}
+<endtable>
+<data/K0=34.>
+<data/gamma=0.>
+<data/Tf=1000.>
+<data/isAdiabaticWall=1>
+{AIR_TABLES}
+<data/Ts0=300.>
+<data/NumFlow=0>
+<data/NumFlow2D=2>
+<data/Flow2D-1.CompIndex=3>
+<data/Flow2D-1.Mode=0>
+<data/Flow2D-1.p=100000.0>
+<data/Flow2D-1.T=300.0>
+<data/Flow2D-1.U={u}>
+<data/Flow2D-1.V={v}>
+<data/Flow2D-2.CompIndex=3>
+<data/Flow2D-2.Mode=0>
+<data/Flow2D-2.p=200000.0>
+<data/Flow2D-2.T=350.0>
+<data/Flow2D-2.U={u * 0.9}>
+<data/Flow2D-2.V={v2}>
+<data/NumRects={nrects}>
+{rect}
+<data/NumCircles=0>
+<data/NumSingleBounds=0>
+<data/NumAirfoils=0>
+<data/NumContour=1>
+<table=Contour1/4>
+0.0   {ly}
+{lx} {ly}
+{lx} 0.0
+0.0   0.0
+<endtable>
+<data/Contour1.MaterialID=0>
+<data/Contour1.Bound1.Cond=NT_FC_2D>
+<data/Contour1.Bound2.Cond=NT_D0X_2D>
+<data/Contour1.Bound3.Cond=NT_D0Y_2D, CT_V_CONST_2D>
+<data/Contour1.Bound4.Cond=NT_FC_2D>
+<data/Contour1.Bound1.Flow2D=2>
+<data/Contour1.Bound2.Flow2D=1>
+<data/Contour1.Bound3.Flow2D=1>
+<data/Contour1.Bound4.Flow2D=1>
+<data/Contour1.Bound1.TurbulenceModel={turb_model}>
+<data/Contour1.Bound2.TurbulenceModel={turb_model}>
+<data/Contour1.Bound3.TurbulenceModel={turb_model}>
+<data/Contour1.Bound4.TurbulenceModel={turb_model}>
+<data/Contour1.Bound1.isReset=0>
+<data/Contour1.Bound2.isReset=0>
+<data/Contour1.Bound3.isReset=0>
+<data/Contour1.Bound4.isReset=0>
+<data/NumArea=1>
+<table=Area1/1>
+3 3
+<endtable>
+<data/Area1.Type=1>
+<data/Area1.Flow2D=1>
+<data/Area1.TurbulenceModel={turb_model}>
+<data/InitTime=0.>
+<data/NumSrc=0>
+<data/NumXCut=0>
+<data/is_Cx_calc=0>
+<data/is_Cd_calc=0>
+<data/isOutHeatFluxX=0>
+<data/isOutHeatFluxY=0>
+<data/is_p_asterisk_out=0>
+<data/isSingleGPU=0>
+<data/ActiveSingleGPU=0>
+<data/ThreadBlockSize=0>
+<data/isRecalcYplus=0>
+<data/GasSwapFile=.hf2d>
+<data/OutputFile=.plt>
+<data/ErrorFile=-err.plt>
+<end/Channel>
+"""
+    return parse_deck(text)
+
+
+def freestream_deck(problem_type: int = 0, u: float = 500.0, v: float = 0.0,
+                    nx: int = 16, ny: int = 16) -> Deck:
+    """Uniform stream with FC boundaries on all four sides."""
+    d = channel_deck(nx=nx, ny=ny, u=u, v=v, problem_type=problem_type)
+    # make all four bounds the same uniform flow
+    for b in range(1, 5):
+        d.data[f"Contour1.Bound{b}.Cond"] = "NT_FC_2D"
+        d.data[f"Contour1.Bound{b}.Flow2D"] = "1"
+    return d
+
+
+def reacting_rans_deck(nx: int, ny: int, turb_model: int = 4,
+                       turb_ext_model: int = 4) -> Deck:
+    """Benchmark case: reacting (fuel stream + hot oxidizer coflow) RANS
+    channel, the headline perf config (BASELINE.md)."""
+    d = channel_deck(nx=nx, ny=ny, u=600.0, v=0.0, problem_type=1,
+                     turb_model=turb_model, turb_ext_model=turb_ext_model,
+                     cfl=0.25, beta=0.95, nmax=100)
+    # fuel-rich hot top stream ignites against oxidizer interior
+    d.data["Flow2D-2.CompIndex"] = "0"   # fuel
+    d.data["Flow2D-2.T"] = "1400."
+    d.data["Flow2D-1.CompIndex"] = "1"   # oxidizer
+    return d
