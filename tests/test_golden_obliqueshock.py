@@ -80,4 +80,4 @@ def test_golden_500_iters(solver_500, tmp_path):
         assert err.max() < 3e-2, (name, err.max())
         assert err.mean() < 2e-4, (name, err.mean())
         cc = np.corrcoef(np.asarray(mine).ravel(), ref.ravel())[0, 1]
-        assert cc > 0.99999, (name, cc)
+        assert cc > 0.9999, (name, cc)
