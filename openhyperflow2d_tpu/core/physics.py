@@ -616,3 +616,81 @@ def calc_chemical_reactions(state: SolverState, meta: GridMeta,
         dkdx=state.dkdx, dkdy=state.dkdy, depsdx=state.depsdx,
         depsdy=state.depsdy,
         y_plus=state.y_plus, Q_conv=state.Q_conv, dt=state.dt)
+
+
+def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
+                              params: SolverParams) -> SolverState:
+    """CalcHeatOnWallSources (deeps2d_core.cpp:2679-2833): conjugate wall
+    heat flux for non-adiabatic walls.
+
+    Every wall (no-slip / wall-law) gas node with a solid neighbor deposits
+    a convective flux Q = -lam_eff (T_solid - T_gas)/d on the solid node and
+    receives SrcAdd[rhoE] = -dt Q / d.  The C++ visits gas nodes in (i,j)
+    scan order and averages when a solid node is hit twice (Q>0 test); the
+    fold below reproduces that exact visit order per solid node
+    [(I-1,J) right-facing, (I,J-1) up, (I,J+1) down, (I+1,J) left].
+    NOTE: the reference's extra neighbor term in lam_eff is dead code (the
+    per-node UpNode/DownNode/... pointers are never assigned, so lam_eff is
+    the wall node's own lam + lam_t).
+    """
+    p = params
+    ct = meta.CT
+    dt_ = state.dt
+    solid = iscond(ct, fl.CT_SOLID_2D)
+    wall = (~solid & (iscond(ct, fl.CT_WALL_LAW_2D)
+                      | iscond(ct, fl.CT_WALL_NO_SLIP_2D)))
+    lam_eff = state.lam + state.lam_t
+    Tg = state.Tg
+
+    def sxl(q):
+        return jnp.concatenate([q[:1, :], q[:-1, :]], axis=0)
+
+    def sxr(q):
+        return jnp.concatenate([q[1:, :], q[-1:, :]], axis=0)
+
+    def syd(q):
+        return jnp.concatenate([q[:, :1], q[:, :-1]], axis=1)
+
+    def syu(q):
+        return jnp.concatenate([q[:, 1:], q[:, -1:]], axis=1)
+
+    # contribution of the gas visitor in each direction, evaluated AT the
+    # solid node s; shifts bring the gas node's fields to s
+    # visitor order per solid node: R-facing gas (I-1,J), then (I,J-1),
+    # (I,J+1), (I+1,J)
+    visitors = []
+    for shift_in, d in ((sxl, p.dx),   # gas at I-1 (shift gas fields +x)
+                        (syd, p.dy),   # gas at J-1
+                        (syu, p.dy),   # gas at J+1
+                        (sxr, p.dx)):  # gas at I+1
+        present = solid & shift_in(wall)
+        c = -shift_in(lam_eff) * (Tg - shift_in(Tg)) / d
+        visitors.append((present, c))
+
+    q = jnp.zeros_like(Tg)
+    q_after = []
+    for present, c in visitors:
+        q = jnp.where(present, jnp.where(q > 0.0, (q + c) * 0.5, c), q)
+        q_after.append(q)
+
+    # SrcAdd[rhoE] per gas node: directions processed D, U, L, R — the last
+    # solid direction wins; uses the solid's Q right after this gas node's
+    # own write (q_after rank of that (solid, visitor) pair).
+    q_when_gas_below = sxl(q_after[3])   # gas (I,J) visited solid (I+1,J)?
+    # map: gas g at (i,j); solid below = (i,j-1): g is the "syu" visitor
+    # (rank 2); solid above = (i,j+1): g is "syd" visitor (rank 1);
+    # solid left = (i-1,j): g is "sxr" visitor (rank 3); solid right =
+    # (i+1,j): g is "sxl" visitor (rank 0).
+    src_e = state.SrcAdd[fl.i2d_RhoE]
+    down_solid = wall & syd(solid)
+    src_e = jnp.where(down_solid, -dt_ * syd(q_after[2]) / p.dy, src_e)
+    up_solid = wall & syu(solid)
+    src_e = jnp.where(up_solid, -dt_ * syu(q_after[1]) / p.dy, src_e)
+    left_solid = wall & sxl(solid)
+    src_e = jnp.where(left_solid, -dt_ * sxl(q_after[3]) / p.dx, src_e)
+    right_solid = wall & sxr(solid)
+    src_e = jnp.where(right_solid, -dt_ * sxr(q_after[0]) / p.dx, src_e)
+
+    src_add = state.SrcAdd.at[fl.i2d_RhoE].set(src_e)
+    return SolverState(**{**state.__dict__, "SrcAdd": src_add,
+                          "Q_conv": q})

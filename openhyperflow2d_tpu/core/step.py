@@ -32,8 +32,8 @@ import jax.numpy as jnp
 
 from ..config.tables import table_lookup
 from . import flags as fl
-from .physics import (calc_chemical_reactions, fill_node, iscond, node_masks,
-                      _safe_div)
+from .physics import (calc_chemical_reactions, calc_heat_on_wall_sources,
+                      fill_node, iscond, node_masks, _safe_div)
 from .state import ChemTables, GridMeta, SolverParams, SolverState
 
 
@@ -351,6 +351,11 @@ def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
 
     # ---------------- chemistry (1328) -------------------------------------
     out = calc_chemical_reactions(filled, meta, p, chem, active)
+
+    # ---------------- conjugate wall heat flux (1402-1409) ------------------
+    if not p.isAdiabaticWall:
+        out = calc_heat_on_wall_sources(out, meta, p)
+
     out = SolverState(**{**out.__dict__, "dt": dt_new.astype(dtype)})
 
     diag = {
