@@ -131,9 +131,12 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
-def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
-                chem: ChemTables, aux: StepAux):
-    """One inner iteration.  Returns (new_state, diagnostics dict)."""
+def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
+           aux: StepAux):
+    """Pass 1 (stencil/flux update) + pass 2 (DD/beta/RMS/commit).
+
+    Returns (S_committed, beta_out, dSdx_new, dSdy_new, diag).
+    """
     p = params
     dt_ = state.dt
     dtype = state.S.dtype
@@ -244,7 +247,36 @@ def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
 
     S_committed = jnp.where(evolve, next_s, S_eff)
 
-    # ---------------- PASS 2: gradients (1169-1237) ------------------------
+    diag = {"RMS": rms_out, "DD_max": dd_max, "dt_used": dt_}
+    return S_committed, beta_out, dSdx_new, dSdy_new, diag
+
+
+def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
+        chem: ChemTables, aux: StepAux):
+    """Gradients + FillNode2D + local dt + chemistry + wall heat flux
+    (the tail of pass 2, deeps2d_core.cpp:1169-1334 + 1402-1409).
+
+    ``state`` holds the committed S / updated beta; primitives (U, V, Tg, p)
+    and transport properties are the previous iteration's fill outputs.
+    Returns (out_state, dt_new, unstable); ``out_state.dt`` is left at the
+    incoming value (callers decide the dt hand-off).
+    """
+    p = params
+    dtype = state.S.dtype
+    solid, is_set, fc, active = node_masks(meta)
+    idXl = (meta.idXl != 0)
+    idXr = (meta.idXr != 0)
+    idYu = (meta.idYu != 0)
+    idYd = (meta.idYd != 0)
+    n1 = meta.idXl.astype(dtype)
+    n2 = meta.idXr.astype(dtype)
+    n3 = meta.idYu.astype(dtype)
+    n4 = meta.idYd.astype(dtype)
+    n_n = jnp.maximum(n1 + n2, 1.0)
+    m_m = jnp.maximum(n3 + n4, 1.0)
+    S_committed = state.S
+
+    # ---------------- gradients (1169-1237) --------------------------------
     st = state
     if p.sm == fl.SM_NS:
         dx1nn = 1.0 / (p.dx * n_n)
@@ -321,15 +353,11 @@ def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
         dTdx, dTdy = st.dTdx, st.dTdy
         dkdx, dkdy, depsdx, depsdy = st.dkdx, st.dkdy, st.depsdx, st.depsdy
 
-    mid = SolverState(
-        S=S_committed, beta=beta_out, A=st.A, B=st.B, F=st.F,
-        dSdx=dSdx_new, dSdy=dSdy_new, Src=st.Src, SrcAdd=st.SrcAdd,
-        U=st.U, V=st.V, p=st.p, Tg=st.Tg, Yc=st.Yc, R=st.R, CP=st.CP,
-        lam=st.lam, mu=st.mu, mu_t=st.mu_t, lam_t=st.lam_t,
-        droYdx=droYdx, droYdy=droYdy,
-        dUdx=dUdx, dUdy=dUdy, dVdx=dVdx, dVdy=dVdy, dTdx=dTdx, dTdy=dTdy,
-        dkdx=dkdx, dkdy=dkdy, depsdx=depsdx, depsdy=depsdy,
-        y_plus=st.y_plus, Q_conv=st.Q_conv, dt=st.dt)
+    mid = SolverState(**{**st.__dict__,
+        "droYdx": droYdx, "droYdy": droYdy,
+        "dUdx": dUdx, "dUdy": dUdy, "dVdx": dVdx, "dVdy": dVdy,
+        "dTdx": dTdx, "dTdy": dTdy,
+        "dkdx": dkdx, "dkdy": dkdy, "depsdx": depsdx, "depsdy": depsdy})
 
     # ---------------- FillNode2D (1240-1244, 1330-1331) --------------------
     # active nodes: is_mu_t iff iter+last_iter >= TurbStartIter;
@@ -347,7 +375,7 @@ def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
                                      p.dy / (aaa + jnp.abs(filled.V)))
     dt_new = jnp.minimum(1.0, jnp.min(jnp.where(active, dt_nodes, 1.0)))
     if p.serial_dt_mode:
-        dt_new = jnp.minimum(dt_new, dt_)
+        dt_new = jnp.minimum(dt_new, state.dt)
 
     # ---------------- chemistry (1328) -------------------------------------
     out = calc_chemical_reactions(filled, meta, p, chem, active)
@@ -356,13 +384,158 @@ def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
     if not p.isAdiabaticWall:
         out = calc_heat_on_wall_sources(out, meta, p)
 
-    out = SolverState(**{**out.__dict__, "dt": dt_new.astype(dtype)})
+    return out, dt_new.astype(dtype), unstable
 
-    diag = {
-        "RMS": rms_out,
-        "DD_max": dd_max,
-        "dt_used": dt_,
-        "dt_next": dt_new,
-        "unstable": unstable,
-    }
+
+def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
+                chem: ChemTables, aux: StepAux):
+    """One full inner iteration (reference order: pass1 -> pass2 -> gradients
+    -> fill -> dt -> chemistry -> heat).  Returns (new_state, diag)."""
+    S_c, beta_c, dSdx_n, dSdy_n, diag = pass12(state, meta, params, aux)
+    mid = SolverState(**{**state.__dict__, "S": S_c, "beta": beta_c,
+                         "dSdx": dSdx_n, "dSdy": dSdy_n})
+    out, dt_new, unstable = gfc(mid, meta, params, chem, aux)
+    out = SolverState(**{**out.__dict__, "dt": dt_new})
+    diag = {**diag, "dt_next": dt_new, "unstable": unstable}
     return out, diag
+
+
+# ---------------------------------------------------------------------------
+# Fast scan path: slim carry
+# ---------------------------------------------------------------------------
+@dataclass
+class SlimState:
+    """Minimal inner-loop carry (~33 planes vs ~111 for SolverState).
+
+    Everything else (fluxes A/B/F, dSdx/dSdy, gradients, SrcAdd, Q_conv) is
+    a pure function of these fields within one rotated iteration and is
+    recomputed in-loop — the main HBM-traffic reduction vs carrying the full
+    node state, mirroring how the reference's per-node kernel recomputes
+    fluxes rather than persisting them.
+    """
+
+    S: jnp.ndarray
+    beta: jnp.ndarray
+    U: jnp.ndarray
+    V: jnp.ndarray
+    p: jnp.ndarray
+    Tg: jnp.ndarray
+    Yc: jnp.ndarray
+    R: jnp.ndarray
+    CP: jnp.ndarray
+    lam: jnp.ndarray
+    mu: jnp.ndarray
+    mu_t: jnp.ndarray
+    lam_t: jnp.ndarray
+    y_plus: jnp.ndarray
+    dt: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    SlimState, data_fields=[f for f in SlimState.__annotations__],
+    meta_fields=[])
+
+_SLIM_FIELDS = list(SlimState.__annotations__)
+
+
+def shrink(state: SolverState) -> SlimState:
+    return SlimState(**{f: getattr(state, f) for f in _SLIM_FIELDS})
+
+
+def expand(slim: SlimState, params: SolverParams, src_ext) -> SolverState:
+    """SlimState -> SolverState with recomputable fields zeroed.
+
+    The zero defaults are exact: dSdx/dSdy/gradients of never-updated nodes
+    are 0 by construction, SrcAdd/Q_conv are rebuilt every iteration, and
+    A/B/F are produced by the in-loop fill before any consumer reads them.
+    """
+    ne = fl.NUM_EQ
+    X, Y = slim.S.shape[-2:]
+    dt = slim.S.dtype
+    z9 = jnp.zeros((ne, X, Y), dt)
+    z4 = jnp.zeros((4, X, Y), dt)
+    z1 = jnp.zeros((X, Y), dt)
+    kw = {f: getattr(slim, f) for f in _SLIM_FIELDS}
+    return SolverState(
+        A=z9, B=z9, F=z9, dSdx=z9, dSdy=z9,
+        Src=src_ext, SrcAdd=z9,
+        droYdx=z4, droYdy=z4,
+        dUdx=z1, dUdy=z1, dVdx=z1, dVdy=z1, dTdx=z1, dTdy=z1,
+        dkdx=z1, dkdy=z1, depsdx=z1, depsdy=z1, Q_conv=z1, **kw)
+
+
+def make_aux(beta_tab, cfl_tab, turb_start, it, dtype):
+    itf = it.astype(dtype)
+    return StepAux(
+        beta_scen=table_lookup(beta_tab[0], beta_tab[1], itf),
+        cfl_scen=table_lookup(cfl_tab[0], cfl_tab[1], itf),
+        is_mu_t_iter=(it >= turb_start))
+
+
+def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
+                    beta_tab, cfl_tab, turb_start, src_ext):
+    """Build chunk(state, n_iters, start_iter) -> (state', diags) running
+    ``n_iters`` iterations with the slim carry.
+
+    Identical operation sequence to ``solver_step`` repeated n times; the
+    loop boundary is rotated so only SlimState crosses scan iterations:
+
+        prologue: pass12 @ iter 0
+        scan_k:   [gradients+fill+dt+chem+heat] @ iter k,
+                  pass12 @ iter k+1        (k = 0 .. n-2)
+        epilogue: [gradients+fill+dt+chem+heat] @ iter n-1
+    """
+    dtype = params.jdtype
+
+    def aux_at(it):
+        return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
+
+    def rotated(slim, k):
+        full = expand(slim, params, src_ext)
+        out, dt_new, unstable = gfc(full, meta, params, chem, aux_at(k))
+        out = SolverState(**{**out.__dict__, "dt": dt_new})
+        S_c, beta_c, _, _, diag = pass12(out, meta, params, aux_at(k + 1))
+        slim2 = shrink(SolverState(**{**out.__dict__, "S": S_c,
+                                      "beta": beta_c}))
+        diag = {**diag, "unstable": unstable}
+        return slim2, diag
+
+    def chunk(state: SolverState, n_iters: int, start_iter):
+        # prologue: iteration start_iter's pass12 (fluxes already in state)
+        aux0 = aux_at(start_iter)
+        S_c, beta_c, _, _, diag0 = pass12(state, meta, params, aux0)
+        slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
+                                     "beta": beta_c}))
+        if n_iters > 1:
+            ks = start_iter + jnp.arange(n_iters - 1)
+            slim, diags = jax.lax.scan(rotated, slim, ks)
+        else:
+            diags = None
+        # epilogue: final iteration's gradients/fill/chem
+        full = expand(slim, params, src_ext)
+        out, dt_new, unstable_last = gfc(full, meta, params, chem,
+                                         aux_at(start_iter + n_iters - 1))
+        out = SolverState(**{**out.__dict__, "dt": dt_new})
+
+        def lead(a, b):
+            return jnp.concatenate([a[None], b], 0) if b is not None \
+                else a[None]
+
+        def trail(b, a):
+            return jnp.concatenate([b, a[None]], 0) if b is not None \
+                else a[None]
+
+        all_diag = {
+            # pass12 diags: iterations start .. start+n-1 (prologue first)
+            "RMS": lead(diag0["RMS"], diags["RMS"] if diags else None),
+            "dt_used": lead(diag0["dt_used"],
+                            diags["dt_used"] if diags else None),
+            "DD_max": lead(diag0["DD_max"],
+                           diags["DD_max"] if diags else None),
+            # fill-stage diags: iterations start .. start+n-1 (epilogue last)
+            "unstable": trail(diags["unstable"] if diags else None,
+                              unstable_last),
+        }
+        return out, all_diag
+
+    return chunk

@@ -58,6 +58,7 @@ def shard_solver(solver, mesh: Mesh):
     solver.state = shard_tree(solver.state, mesh)
     solver.meta = shard_tree(solver.meta, mesh)
     solver.chem = shard_tree(solver.chem, mesh)
+    solver._src_ext = shard_tree(solver._src_ext, mesh)
     solver._chunk_fn = jax.jit(solver._make_chunk_fn(),
                                static_argnums=(1,))
     return solver

@@ -25,7 +25,7 @@ from ..core import flags as fl
 from ..core.physics import fill_node, node_masks
 from ..core.state import (ChemTables, GridMeta, SolverParams, SolverState,
                           meta_from_grid, state_from_grid)
-from ..core.step import StepAux, solver_step
+from ..core.step import StepAux, make_fast_chunk, solver_step
 from .init import Case, chem_tables_device
 
 
@@ -39,20 +39,6 @@ class RunStats:
     unstable: bool = False
 
 
-def _scan_fn(meta, params, chem, beta_xs, beta_ys, cfl_xs, cfl_ys,
-             turb_start, state, it):
-    from ..config.tables import table_lookup
-    itf = it.astype(state.S.dtype)
-    aux = StepAux(
-        beta_scen=table_lookup(beta_xs, beta_ys, itf),
-        cfl_scen=table_lookup(cfl_xs, cfl_ys, itf),
-        is_mu_t_iter=(it >= turb_start))
-    new_state, diag = solver_step(state, meta, params, chem, aux)
-    out = {"RMS": diag["RMS"], "dt_used": diag["dt_used"],
-           "unstable": diag["unstable"]}
-    return new_state, out
-
-
 class Solver:
     """Single-driver solver over one (possibly sharded) device state."""
 
@@ -64,6 +50,8 @@ class Solver:
         self.meta = meta_from_grid(case.grid)
         self.chem = chem_tables_device(case.chem, dtype)
         self.state = state_from_grid(case.grid, p, case.dt0)
+        # external volumetric sources (SetSources2D) — quasi-static input
+        self._src_ext = jnp.asarray(case.grid.Src, dtype)
         self.beta_xs = jnp.asarray(case.beta_scenario.x, dtype)
         self.beta_ys = jnp.asarray(case.beta_scenario.y, dtype)
         self.cfl_xs = jnp.asarray(case.cfl_scenario.x, dtype)
@@ -90,18 +78,10 @@ class Solver:
         self._chunk_fn = jax.jit(self._make_chunk_fn(), static_argnums=(1,))
 
     def _make_chunk_fn(self):
-        meta, params, chem = self.meta, self.params, self.chem
-        beta_xs, beta_ys = self.beta_xs, self.beta_ys
-        cfl_xs, cfl_ys = self.cfl_xs, self.cfl_ys
-        turb_start = params.TurbStartIter
-
-        def chunk(state, n_iters: int, start_iter):
-            its = start_iter + jnp.arange(n_iters)
-            body = partial(_scan_fn, meta, params, chem, beta_xs, beta_ys,
-                           cfl_xs, cfl_ys, turb_start)
-            return jax.lax.scan(body, state, its)
-
-        return chunk
+        return make_fast_chunk(
+            self.meta, self.params, self.chem,
+            (self.beta_xs, self.beta_ys), (self.cfl_xs, self.cfl_ys),
+            self.params.TurbStartIter, self._src_ext)
 
     def run_iters(self, n_iters: int):
         """Run ``n_iters`` inner iterations; returns stacked diagnostics."""
