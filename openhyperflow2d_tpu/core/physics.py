@@ -6,9 +6,13 @@ Vectorized TPU-native re-implementation of ``FlowNode2D::FillNode2D``
 (libDEEPS2D/deeps2d_core.cpp:4697-4780).
 
 Every per-node branch of the reference becomes a ``jnp.where`` mask — the
-whole kernel is branch-free and fuses into a handful of elementwise XLA ops
-(VPU work on TPU).  Nodes failing the reference's guards (solid, rho==0,
-k<1) keep their previous values through the masks.
+whole kernel is branch-free VPU work.  Per-equation state is manipulated as
+Python lists of (X, Y) planes and stacked exactly once per output array:
+chained ``.at[eq].set`` updates on (9, X, Y) arrays would each materialize a
+full-array copy on TPU, which dominated the step cost before this layout.
+
+Nodes failing the reference's guards (solid, rho==0, k<1) keep their
+previous values through the masks.
 """
 
 from __future__ import annotations
@@ -42,6 +46,10 @@ def node_masks(meta: GridMeta):
     return solid, is_set, fc, active
 
 
+def _planes(arr, n):
+    return [arr[e] for e in range(n)]
+
+
 def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
               is_mu_t, is_init: bool) -> SolverState:
     """FillNode2D over the whole grid.
@@ -54,10 +62,14 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     p = params
     ct, tct = meta.CT, meta.TCT
     dt = state.S.dtype
-    one = jnp.asarray(1.0, dt)
 
-    S = state.S
-    rho = S[fl.i2d_Rho]
+    ne = fl.NUM_EQ
+    s = _planes(state.S, ne)
+    a_l = _planes(state.A, ne)
+    b_l = _planes(state.B, ne)
+    f_l = _planes(state.F, ne)
+    src = _planes(state.Src, ne)
+    rho = s[fl.i2d_Rho]
     solid = iscond(ct, fl.CT_SOLID_2D)
 
     k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
@@ -67,40 +79,31 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     # --- U/V with per-equation Dirichlet enforcement (hpp:413-421) --------
     u_const = iscond(ct, fl.CT_U_CONST_2D)
     v_const = iscond(ct, fl.CT_V_CONST_2D)
-    U = jnp.where(u_const, state.U, S[fl.i2d_RhoU] / rho_s)
-    V = jnp.where(v_const, state.V, S[fl.i2d_RhoV] / rho_s)
-    S_u = jnp.where(u_const, U * rho, S[fl.i2d_RhoU])
-    S_v = jnp.where(v_const, V * rho, S[fl.i2d_RhoV])
+    U = jnp.where(u_const, state.U, s[fl.i2d_RhoU] / rho_s)
+    V = jnp.where(v_const, state.V, s[fl.i2d_RhoV] / rho_s)
+    s[fl.i2d_RhoU] = jnp.where(u_const, U * rho, s[fl.i2d_RhoU])
+    s[fl.i2d_RhoV] = jnp.where(v_const, V * rho, s[fl.i2d_RhoV])
 
     mu_t = state.mu_t
     lam_t = state.lam_t
-    A = state.A
-    B = state.B
-    F = state.F
-    Src = state.Src
 
     turb_on = tct != 0
     if p.sm == fl.SM_NS:
         if is_init:
             mu_t = jnp.where(turb_on, 5.0 * state.mu, jnp.zeros_like(mu_t))
             lam_t = jnp.where(turb_on, lam_t, jnp.zeros_like(lam_t))
-        # Turbulence models (TurbModRANS2D) need the current U,V which at
-        # this point include the Dirichlet enforcement above.
-        S = S.at[fl.i2d_RhoU].set(S_u).at[fl.i2d_RhoV].set(S_v)
-        (S, A, B, F, Src, mu_t, lam_t) = _turb_mod_rans(
-            state, meta, p, S, U, V, A, B, F, Src, mu_t, lam_t,
+        # Turbulence models (TurbModRANS2D) see the Dirichlet-enforced U,V.
+        mu_t, lam_t = _turb_mod_rans(
+            state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
             is_mu_t, is_init)
-        S_u, S_v = S[fl.i2d_RhoU], S[fl.i2d_RhoV]
-    else:
-        S = S.at[fl.i2d_RhoU].set(S_u).at[fl.i2d_RhoV].set(S_v)
 
     # --- formation enthalpy sum (hpp:438-445) -----------------------------
     Hu = [jnp.asarray(h, dt) for h in p.Hu]
     h_form = jnp.zeros_like(rho)
     rho_air = rho
     for c in range(fl.NUM_COMPONENTS):
-        h_form = h_form + Hu[c] * S[4 + c]
-        rho_air = rho_air - S[4 + c]
+        h_form = h_form + Hu[c] * s[4 + c]
+        rho_air = rho_air - s[4 + c]
     h_form = h_form + Hu[fl.NUM_COMPONENTS] * rho_air
 
     # --- wall handling (hpp:447-488) --------------------------------------
@@ -108,35 +111,32 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     wall_ns = iscond(ct, fl.CT_WALL_NO_SLIP_2D) & ~wall_law
     # WALL_LAW: project momentum onto the wall direction
     w_mag = jnp.sqrt(U * U + V * V + 1.e-30)
-    S_u = jnp.where(wall_law, w_mag * meta.BGX, S_u)
-    S_v = jnp.where(wall_law, w_mag * meta.BGY, S_v)
-    U = jnp.where(wall_law, S_u / rho_s, U)
-    V = jnp.where(wall_law, S_v / rho_s, V)
+    s[fl.i2d_RhoU] = jnp.where(wall_law, w_mag * meta.BGX, s[fl.i2d_RhoU])
+    s[fl.i2d_RhoV] = jnp.where(wall_law, w_mag * meta.BGY, s[fl.i2d_RhoV])
+    U = jnp.where(wall_law, s[fl.i2d_RhoU] / rho_s, U)
+    V = jnp.where(wall_law, s[fl.i2d_RhoV] / rho_s, V)
     # WALL_NO_SLIP: optional moving-wall sources, then gas moves with wall
-    U_pre = jnp.where(wall_ns, S_u / rho_s, U)
-    V_pre = jnp.where(wall_ns, S_v / rho_s, V)
-    src_add = jnp.zeros_like(state.SrcAdd)
+    U_pre = jnp.where(wall_ns, s[fl.i2d_RhoU] / rho_s, U)
+    V_pre = jnp.where(wall_ns, s[fl.i2d_RhoV] / rho_s, V)
+    zero = jnp.zeros_like(rho)
+    src_add = [zero] * ne
     if p.isSrcAdd:
         sa_rho = (meta.BGX * (U_pre - meta.Uw) * rho / p.dx
                   + meta.BGY * (V_pre - meta.Vw) * rho / p.dy)
-        src_add = src_add.at[fl.i2d_Rho].set(
-            jnp.where(wall_ns, sa_rho, 0.0))
-        src_add = src_add.at[fl.i2d_RhoU].set(
-            jnp.where(wall_ns, meta.BGX * (U_pre - meta.Uw) * rho, 0.0))
-        src_add = src_add.at[fl.i2d_RhoV].set(
-            jnp.where(wall_ns, meta.BGY * (V_pre - meta.Vw) * rho, 0.0))
+        src_add[fl.i2d_Rho] = jnp.where(wall_ns, sa_rho, 0.0)
+        src_add[fl.i2d_RhoU] = jnp.where(
+            wall_ns, meta.BGX * (U_pre - meta.Uw) * rho, 0.0)
+        src_add[fl.i2d_RhoV] = jnp.where(
+            wall_ns, meta.BGY * (V_pre - meta.Vw) * rho, 0.0)
         for c in range(fl.NUM_COMPONENTS):
-            src_add = src_add.at[4 + c].set(
-                jnp.where(wall_ns, sa_rho * state.Yc[c], 0.0))
-    # turbulence eq SrcAdd set by keps branch below stays zero here
+            src_add[4 + c] = jnp.where(wall_ns, sa_rho * state.Yc[c], 0.0)
     U = jnp.where(wall_ns, meta.Uw, U)
     V = jnp.where(wall_ns, meta.Vw, V)
-    S_u = jnp.where(wall_ns, U * rho, S_u)
-    S_v = jnp.where(wall_ns, V * rho, S_v)
-    S = S.at[fl.i2d_RhoU].set(S_u).at[fl.i2d_RhoV].set(S_v)
+    s[fl.i2d_RhoU] = jnp.where(wall_ns, U * rho, s[fl.i2d_RhoU])
+    s[fl.i2d_RhoV] = jnp.where(wall_ns, V * rho, s[fl.i2d_RhoV])
 
     # --- EOS (hpp:490-492) -------------------------------------------------
-    p_new = (k_cpcv - 1.0) * (S[fl.i2d_RhoE]
+    p_new = (k_cpcv - 1.0) * (s[fl.i2d_RhoE]
                               - rho * (U * U + V * V) * 0.5 - h_form)
     Tg_new = _safe_div(p_new, state.R * rho_s)
 
@@ -161,30 +161,31 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
         else:
             dila = L2 * (state.dUdx + state.dVdy)
 
-    # convective fluxes (hpp:521-534)
-    An = [None] * fl.NUM_EQ
-    Bn = [None] * fl.NUM_EQ
-    An[0] = S[fl.i2d_RhoU]
-    An[1] = p_new + S[fl.i2d_RhoU] * U
-    An[2] = S[fl.i2d_RhoV] * U
-    An[3] = (S[fl.i2d_RhoE] + p_new) * U
-    Bn[0] = S[fl.i2d_RhoV]
-    Bn[1] = An[2]
-    Bn[2] = p_new + S[fl.i2d_RhoV] * V
-    Bn[3] = (S[fl.i2d_RhoE] + p_new) * V
+    # convective fluxes (hpp:521-534); eqs 7..8 already hold the
+    # (model-masked) turbulence fluxes written by the dispatch above
+    an = list(a_l)
+    bn = list(b_l)
+    fn = list(f_l)
+    an[0] = s[fl.i2d_RhoU]
+    an[1] = p_new + s[fl.i2d_RhoU] * U
+    an[2] = s[fl.i2d_RhoV] * U
+    an[3] = (s[fl.i2d_RhoE] + p_new) * U
+    bn[0] = s[fl.i2d_RhoV]
+    bn[1] = an[2]
+    bn[2] = p_new + s[fl.i2d_RhoV] * V
+    bn[3] = (s[fl.i2d_RhoE] + p_new) * V
     for c in range(4, 4 + fl.NUM_COMPONENTS):
-        An[c] = S[c] * U
-        Bn[c] = S[c] * V
+        an[c] = s[c] * U
+        bn[c] = s[c] * V
 
-    Fn = [None] * fl.NUM_EQ
     if p.ft == fl.FT_AXISYMMETRIC:
         # FT enum value is 1 for axisymmetric, so FT* factors are unity
-        Fn[0] = Bn[0]
-        Fn[1] = An[2]
-        Fn[2] = Fn[0] * V
-        Fn[3] = Bn[3]
+        fn[0] = bn[0]
+        fn[1] = an[2]
+        fn[2] = fn[0] * V
+        fn[3] = bn[3]
         for c in range(4, 4 + fl.NUM_COMPONENTS):
-            Fn[c] = Bn[c]
+            fn[c] = bn[c]
 
     if p.sm == fl.SM_NS:
         sxx = 2.0 * mu_eff * state.dUdx - dila
@@ -197,80 +198,59 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
             qy = qy + diff * (state.CP * Tg_new + Hu[c]) * state.droYdy[c]
         RX1, RX2, RX3 = sxx, txy, U * sxx + V * txy + qx
         RY1, RY2, RY3 = txy, syy, U * txy + V * syy + qy
-        An[1] = An[1] - RX1
-        An[2] = An[2] - RX2
-        An[3] = An[3] - RX3
-        Bn[1] = Bn[1] - RY1
-        Bn[2] = Bn[2] - RY2
-        Bn[3] = Bn[3] - RY3
+        an[1] = an[1] - RX1
+        an[2] = an[2] - RX2
+        an[3] = an[3] - RX3
+        bn[1] = bn[1] - RY1
+        bn[2] = bn[2] - RY2
+        bn[3] = bn[3] - RY3
         for c in range(4, 4 + fl.NUM_COMPONENTS):
-            rxc = diff * state.droYdx[c - 4]
-            ryc = diff * state.droYdy[c - 4]
-            An[c] = An[c] - rxc
-            Bn[c] = Bn[c] - ryc
+            an[c] = an[c] - diff * state.droYdx[c - 4]
+            bn[c] = bn[c] - diff * state.droYdy[c - 4]
         if p.ft == fl.FT_AXISYMMETRIC:
             t00 = 2.0 * mu_eff * V / y_r - dila
-            Fn[1] = Fn[1] - RY1
-            Fn[2] = Fn[2] - (RY2 + t00)
-            Fn[3] = Fn[3] - RY3
+            fn[1] = fn[1] - RY1
+            fn[2] = fn[2] - (RY2 + t00)
+            fn[3] = fn[3] - RY3
             for c in range(4, 4 + fl.NUM_COMPONENTS):
-                Fn[c] = Fn[c] - diff * state.droYdy[c - 4]
+                fn[c] = fn[c] - diff * state.droYdy[c - 4]
         else:
             # flat NS zeroes the whole F vector, all NumEq (hpp:595-598)
-            Fn = [jnp.zeros_like(rho)] * fl.NUM_EQ
+            fn = [zero] * ne
 
     # --- assemble outputs through the guard mask ---------------------------
     def sel(new, old):
         return jnp.where(guard, new, old)
 
-    A_out = state.A
-    B_out = state.B
-    F_out = state.F
-    for eq in range(fl.NUM_EQ):
-        # eqs 7..8 were written (model-masked) by the turbulence dispatch
-        a_new = An[eq] if eq < 7 and An[eq] is not None else A[eq]
-        b_new = Bn[eq] if eq < 7 and Bn[eq] is not None else B[eq]
-        A_out = A_out.at[eq].set(sel(a_new, state.A[eq]))
-        B_out = B_out.at[eq].set(sel(b_new, state.B[eq]))
-        if eq < len(Fn) and Fn[eq] is not None:
-            F_out = F_out.at[eq].set(sel(Fn[eq], state.F[eq]))
-        else:
-            F_out = F_out.at[eq].set(sel(F[eq], state.F[eq]))
+    A_out = jnp.stack([sel(an[e], state.A[e]) for e in range(ne)])
+    B_out = jnp.stack([sel(bn[e], state.B[e]) for e in range(ne)])
+    F_out = jnp.stack([sel(fn[e], state.F[e]) for e in range(ne)])
+    S_out = jnp.stack([sel(s[e], state.S[e]) for e in range(ne)])
+    Src_out = jnp.stack([sel(src[e], state.Src[e]) for e in range(ne)])
+    SrcAdd_out = jnp.stack([sel(src_add[e], state.SrcAdd[e])
+                            for e in range(ne)])
 
-    S_out = state.S
-    for eq in range(fl.NUM_EQ):
-        S_out = S_out.at[eq].set(sel(S[eq], state.S[eq]))
-
-    return SolverState(
-        S=S_out, beta=state.beta, A=A_out, B=B_out, F=F_out,
-        dSdx=state.dSdx, dSdy=state.dSdy, Src=_sel9(guard, Src, state.Src),
-        SrcAdd=_sel9(guard, src_add, state.SrcAdd),
-        U=sel(U, state.U), V=sel(V, state.V), p=sel(p_new, state.p),
-        Tg=sel(Tg_new, state.Tg), Yc=state.Yc, R=state.R, CP=state.CP,
-        lam=state.lam, mu=state.mu,
-        mu_t=sel(mu_t, state.mu_t), lam_t=sel(lam_t, state.lam_t),
-        droYdx=state.droYdx, droYdy=state.droYdy,
-        dUdx=state.dUdx, dUdy=state.dUdy, dVdx=state.dVdx, dVdy=state.dVdy,
-        dTdx=state.dTdx, dTdy=state.dTdy,
-        dkdx=state.dkdx, dkdy=state.dkdy, depsdx=state.depsdx,
-        depsdy=state.depsdy,
-        y_plus=state.y_plus, Q_conv=state.Q_conv, dt=state.dt)
+    return SolverState(**{
+        **state.__dict__,
+        "S": S_out, "A": A_out, "B": B_out, "F": F_out,
+        "Src": Src_out, "SrcAdd": SrcAdd_out,
+        "U": sel(U, state.U), "V": sel(V, state.V),
+        "p": sel(p_new, state.p), "Tg": sel(Tg_new, state.Tg),
+        "mu_t": sel(mu_t, state.mu_t), "lam_t": sel(lam_t, state.lam_t)})
 
 
-def _sel9(guard, new, old):
-    return jnp.where(guard[None, :, :], new, old)
-
-
-def _turb_mod_rans(state, meta, p, S, U, V, A, B, F, Src, mu_t, lam_t,
+def _turb_mod_rans(state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
                    is_mu_t, is_init):
     """TurbModRANS2D (hyper_flow_node.hpp:601-957) over the grid.
 
+    Mutates the plane lists (s, a_l, b_l, f_l, src) in place for the
+    turbulence equations (model-masked); returns (mu_t, lam_t).
     Model selection per node by TCT bits (the reference's if/else-if chain);
-    the per-model extended variant ``tem`` is a static parameter.
+    the extended-model variant ``tem`` is a static parameter.
     """
     tct, ct = meta.TCT, meta.CT
-    dt = S.dtype
-    rho = S[fl.i2d_Rho]
+    dt = s[0].dtype
+    rho = s[fl.i2d_Rho]
     rho_s = jnp.where(rho != 0, rho, 1)
     tem = p.tem
 
@@ -282,227 +262,195 @@ def _turb_mod_rans(state, meta, p, S, U, V, A, B, F, Src, mu_t, lam_t,
             & ~m_prandtl & ~m_keps)
     m_smag = (iscond(tct, fl.TCT_Smagorinsky_Model_2D)
               & ~m_prandtl & ~m_keps & ~m_sa)
+    any_keps = True   # masks are data-dependent; compile all paths
 
     grad_mag = jnp.maximum(jnp.abs(state.dUdy), jnp.abs(state.dVdx))
 
     # ---------------- Prandtl zero-equation family (612-638) --------------
     n_0 = meta.l_min * 0.41
-    if tem == fl.TEM_Prandtl:
-        l_p = n_0
-    elif tem == fl.TEM_vanDriest:
+    if tem == fl.TEM_vanDriest:
         l_p = n_0 * (1.0 - jnp.exp(-state.y_plus / 26.0))
-    elif tem == fl.TEM_Escudier:
-        l_p = jnp.minimum(n_0, 0.09 * p.delta_bl) if p.delta_bl > 0 else n_0
-    elif tem == fl.TEM_Klebanoff:
-        if p.delta_bl > 0:
-            l_p = n_0 / jnp.sqrt(1.0 + 5.5 * (meta.l_min / p.delta_bl) ** 6)
-        else:
-            l_p = n_0
+    elif tem == fl.TEM_Escudier and p.delta_bl > 0:
+        l_p = jnp.minimum(n_0, 0.09 * p.delta_bl)
+    elif tem == fl.TEM_Klebanoff and p.delta_bl > 0:
+        l_p = n_0 / jnp.sqrt(1.0 + 5.5 * (meta.l_min / p.delta_bl) ** 6)
     else:
         l_p = n_0
-    mu_t_prandtl = rho * l_p * l_p * grad_mag
-
-    mu_t = jnp.where(m_prandtl, mu_t_prandtl, mu_t)
+    mu_t = jnp.where(m_prandtl, rho * l_p * l_p * grad_mag, mu_t)
     lam_t = jnp.where(m_prandtl, mu_t * state.CP, lam_t)
 
     # ---------------- k-eps family (640-820) -------------------------------
-    if True:
-        Sk = S[fl.i2d_k]
-        Se = S[fl.i2d_eps]
-        tmp1 = state.dUdy + state.dVdx
-        tmp2 = rho * l_base
-        tmp3 = state.dUdx ** 2 + state.dVdy ** 2
+    Sk = s[fl.i2d_k]
+    Se = s[fl.i2d_eps]
+    tmp1 = state.dUdy + state.dVdx
+    tmp2 = rho * l_base
+    tmp3 = state.dUdx ** 2 + state.dVdy ** 2
+    if p.ft == fl.FT_AXISYMMETRIC:
+        jj = jnp.arange(p.MaxY, dtype=dt)[None, :]
+        y_r = (jj + 0.5) * p.dy
+        tmp3 = tmp3 + U / y_r
+    mu_t_ke = jnp.where(mu_t == 0, rho * l_base * l_base * grad_mag, mu_t)
+    G = mu_t_ke * (tmp1 * tmp1 + 2.0 * tmp3)
+    Rt = jnp.where((Se != 0) & (state.mu != 0),
+                   _safe_div(Sk * Sk,
+                             Se * jnp.where(state.mu != 0, state.mu, 1)),
+                   0.0)
+
+    f1 = 1.0
+    f2 = 1.0
+    f_mu = jnp.ones_like(rho)
+    L_k = jnp.zeros_like(rho)
+    L_eps = jnp.zeros_like(rho)
+    Mt = jnp.zeros_like(rho)
+    C1eps, C2eps, C_mu = 1.44, 1.92, 0.09
+    sig_k, sig_eps = 1.0, 1.3
+    if tem == fl.TEM_k_eps_Chien:
+        C1eps, C2eps = 1.35, 1.8
+        f2 = 1.0 - 0.4 / 1.8 * jnp.exp(-(Rt * Rt) / 36.0)
+        f_mu = 1.0 - jnp.exp(-0.0115 * state.y_plus)
+        tmp2_s = jnp.where(tmp2 != 0, tmp2, 1)
+        L_k = -2.0 * state.mu * Sk / (tmp2_s * tmp2_s)
+        L_eps = (-2.0 * state.mu * Se / (tmp2_s * tmp2_s)
+                 * jnp.exp(-state.y_plus / 2.0))
+        k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
+        Mt = 1.5 * _safe_div(Sk, k_cpcv * state.p)
+    elif tem == fl.TEM_k_eps_JL:
+        f_mu = jnp.exp(-2.5 / (1.0 + Rt / 50.0))
+    elif tem == fl.TEM_k_eps_LSY:
+        f_mu = jnp.exp(-3.4 / (1.0 + Rt / 50.0) / (1.0 + Rt / 50.0))
+    elif tem == fl.TEM_k_eps_RNG:
+        nu_0 = 4.38
+        nu_r = jnp.where(Se != 0.0,
+                         jnp.sqrt(jnp.maximum(G, 0.0)) * _safe_div(Sk, Se),
+                         0.0)
+        C_mu = 0.0845
+        C1eps = 1.42
+        C2eps = (1.68 + C_mu * nu_r ** 3 * (1.0 - nu_r / nu_0)
+                 / (1.0 + 0.012 * nu_r ** 3))
+        sig_k = sig_eps = 0.7194
+
+    w_mag = jnp.sqrt(U * U + V * V + 1.e-30)
+    tmpI = TURB_INTENSITY * w_mag
+    k_init = 1.5 * tmpI * tmpI * rho
+    l_s = jnp.where(l_base != 0, l_base, 1)
+
+    def eps_of_k(sk):
+        return (C_mu ** 0.75
+                * jnp.maximum(_safe_div(sk, rho_s), 0.0) ** 1.5 / l_s)
+
+    if is_init:
+        Sk = jnp.where(m_keps, k_init, Sk)
+        Se = jnp.where(m_keps, eps_of_k(Sk), Se)
+        mu_t_new = jnp.abs(C_mu * f_mu * _safe_div(Sk * Sk, Se))
+        mu_t_ke = jnp.where(Se != 0, mu_t_new, mu_t_ke)
+
+    kconst = iscond(tct, fl.TCT_k_CONST_2D)
+    econst = iscond(tct, fl.TCT_eps_CONST_2D)
+    ewall = iscond(tct, fl.TCT_eps_Cmk2kXn_WALL_2D)
+    Sk = jnp.where(m_keps & kconst, k_init, Sk)
+    Se = jnp.where(m_keps & (econst | ewall), eps_of_k(Sk), Se)
+
+    nu_t = jnp.abs(C_mu * f_mu * _safe_div(Sk * Sk, Se))
+    mu_t_ke = jnp.where(is_mu_t & (Se != 0),
+                        jnp.minimum(nu_t, mu_t_ke), mu_t_ke)
+
+    if not is_init:
+        rx_k = (state.mu + mu_t_ke / sig_k) * state.dkdx
+        rx_e = (state.mu + mu_t_ke / sig_eps) * state.depsdx
+        ry_k = (state.mu + mu_t_ke / sig_k) * state.dkdy
+        ry_e = (state.mu + mu_t_ke / sig_eps) * state.depsdy
+        a_l[fl.i2d_k] = jnp.where(m_keps, Sk * U - rx_k, a_l[fl.i2d_k])
+        a_l[fl.i2d_eps] = jnp.where(m_keps, Se * U - rx_e, a_l[fl.i2d_eps])
+        b_l[fl.i2d_k] = jnp.where(m_keps, Sk * V - ry_k, b_l[fl.i2d_k])
+        b_l[fl.i2d_eps] = jnp.where(m_keps, Se * V - ry_e, b_l[fl.i2d_eps])
+        src_k = jnp.where((Sk != 0) & ~kconst,
+                          G - Se * (1.0 + Mt) + L_k * rho, src[fl.i2d_k])
+        src_e = jnp.where(
+            (Sk != 0) & ~econst,
+            C1eps * f1 * _safe_div(Se, Sk) * G
+            - C2eps * f2 * _safe_div(Se * Se, Sk) + L_eps * rho,
+            src[fl.i2d_eps])
+        src[fl.i2d_k] = jnp.where(m_keps, src_k, src[fl.i2d_k])
+        src[fl.i2d_eps] = jnp.where(m_keps, src_e, src[fl.i2d_eps])
+        # axisymmetric add-on (hpp:241-252)
         if p.ft == fl.FT_AXISYMMETRIC:
-            jj = jnp.arange(p.MaxY, dtype=dt)[None, :]
-            y_r = (jj + 0.5) * p.dy
-            tmp3 = tmp3 + U / y_r
-        mu_t_ke = jnp.where(mu_t == 0, rho * l_base * l_base * grad_mag,
-                            mu_t)
-        G = mu_t_ke * (tmp1 * tmp1 + 2.0 * tmp3)
-        Rt = jnp.where((Se != 0) & (state.mu != 0),
-                       _safe_div(Sk * Sk, Se * jnp.where(
-                           state.mu != 0, state.mu, 1)), 0.0)
+            f_k = (state.mu + mu_t_ke) * state.dkdy
+            f_e = (state.mu + mu_t_ke / 1.3) * state.depsdy
+            f_l[fl.i2d_k] = jnp.where(m_keps, f_k, f_l[fl.i2d_k])
+            f_l[fl.i2d_eps] = jnp.where(m_keps, f_e, f_l[fl.i2d_eps])
+    else:
+        f_l[fl.i2d_k] = jnp.where(m_keps, 0.0, f_l[fl.i2d_k])
+        f_l[fl.i2d_eps] = jnp.where(m_keps, 0.0, f_l[fl.i2d_eps])
+        src[fl.i2d_k] = jnp.where(m_keps, 0.0, src[fl.i2d_k])
+        src[fl.i2d_eps] = jnp.where(m_keps, 0.0, src[fl.i2d_eps])
 
-        f1 = jnp.ones_like(rho)
-        f2 = jnp.ones_like(rho)
-        f_mu = jnp.ones_like(rho)
-        L_k = jnp.zeros_like(rho)
-        L_eps = jnp.zeros_like(rho)
-        Mt = jnp.zeros_like(rho)
-        C1eps, C2eps, C_mu = 1.44, 1.92, 0.09
-        sig_k, sig_eps = 1.0, 1.3
-        if tem == fl.TEM_k_eps_Chien:
-            C1eps, C2eps = 1.35, 1.8
-            f2 = 1.0 - 0.4 / 1.8 * jnp.exp(-(Rt * Rt) / 36.0)
-            f_mu = 1.0 - jnp.exp(-0.0115 * state.y_plus)
-            tmp2_s = jnp.where(tmp2 != 0, tmp2, 1)
-            L_k = -2.0 * state.mu * Sk / (tmp2_s * tmp2_s)
-            L_eps = (-2.0 * state.mu * Se / (tmp2_s * tmp2_s)
-                     * jnp.exp(-state.y_plus / 2.0))
-            k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
-            Mt = 1.5 * _safe_div(Sk, k_cpcv * state.p)
-        elif tem == fl.TEM_k_eps_JL:
-            f_mu = jnp.exp(-2.5 / (1.0 + Rt / 50.0))
-        elif tem == fl.TEM_k_eps_LSY:
-            f_mu = jnp.exp(-3.4 / (1.0 + Rt / 50.0) / (1.0 + Rt / 50.0))
-        elif tem == fl.TEM_k_eps_RNG:
-            nu_0 = 4.38
-            nu_r = jnp.where(Se != 0.0,
-                             jnp.sqrt(jnp.maximum(G, 0.0))
-                             * _safe_div(Sk, Se), 0.0)
-            C_mu = 0.0845
-            C1eps = 1.42
-            C2eps = (1.68 + C_mu * nu_r ** 3 * (1.0 - nu_r / nu_0)
-                     / (1.0 + 0.012 * nu_r ** 3))
-            sig_k = sig_eps = 0.7194
-
-        w_mag = jnp.sqrt(U * U + V * V + 1.e-30)
-        tmpI = TURB_INTENSITY * w_mag
-        k_init = 1.5 * tmpI * tmpI * rho
-        l_s = jnp.where(l_base != 0, l_base, 1)
-
-        def eps_of_k(sk):
-            return (C_mu ** 0.75
-                    * jnp.maximum(_safe_div(sk, rho_s), 0.0) ** 1.5 / l_s)
-
-        if is_init:
-            Sk = jnp.where(m_keps, k_init, Sk)
-            Se = jnp.where(m_keps, eps_of_k(Sk), Se)
-            mu_t_new = jnp.abs(C_mu * f_mu * _safe_div(Sk * Sk, Se))
-            mu_t_ke = jnp.where(Se != 0, mu_t_new, mu_t_ke)
-
-        kconst = iscond(tct, fl.TCT_k_CONST_2D)
-        econst = iscond(tct, fl.TCT_eps_CONST_2D)
-        ewall = iscond(tct, fl.TCT_eps_Cmk2kXn_WALL_2D)
-        Sk = jnp.where(m_keps & kconst, k_init, Sk)
-        Se = jnp.where(m_keps & (econst | ewall), eps_of_k(Sk), Se)
-
-        nu_t = jnp.abs(C_mu * f_mu * _safe_div(Sk * Sk, Se))
-        mu_t_ke = jnp.where(is_mu_t & (Se != 0),
-                            jnp.minimum(nu_t, mu_t_ke), mu_t_ke)
-
-        if not is_init:
-            rx_k = (state.mu + mu_t_ke / sig_k) * state.dkdx
-            rx_e = (state.mu + mu_t_ke / sig_eps) * state.depsdx
-            ry_k = (state.mu + mu_t_ke / sig_k) * state.dkdy
-            ry_e = (state.mu + mu_t_ke / sig_eps) * state.depsdy
-            a_k = Sk * U - rx_k
-            a_e = Se * U - rx_e
-            b_k = Sk * V - ry_k
-            b_e = Se * V - ry_e
-            src_k = jnp.where(
-                (Sk != 0) & ~kconst,
-                G - Se * (1.0 + Mt) + L_k * rho, Src[fl.i2d_k])
-            src_e = jnp.where(
-                (Sk != 0) & ~econst,
-                C1eps * f1 * _safe_div(Se, Sk) * G
-                - C2eps * f2 * _safe_div(Se * Se, Sk) + L_eps * rho,
-                Src[fl.i2d_eps])
-            # axisymmetric add-on (hpp:241-252)
-            if p.ft == fl.FT_AXISYMMETRIC:
-                f_k = (state.mu + mu_t_ke) * state.dkdy
-                f_e = (state.mu + mu_t_ke / 1.3) * state.depsdy
-            else:
-                f_k = jnp.zeros_like(rho)
-                f_e = jnp.zeros_like(rho)
-            A = A.at[fl.i2d_k].set(jnp.where(m_keps, a_k, A[fl.i2d_k]))
-            A = A.at[fl.i2d_eps].set(jnp.where(m_keps, a_e, A[fl.i2d_eps]))
-            B = B.at[fl.i2d_k].set(jnp.where(m_keps, b_k, B[fl.i2d_k]))
-            B = B.at[fl.i2d_eps].set(jnp.where(m_keps, b_e, B[fl.i2d_eps]))
-            if p.ft == fl.FT_AXISYMMETRIC:
-                F = F.at[fl.i2d_k].set(jnp.where(m_keps, f_k, F[fl.i2d_k]))
-                F = F.at[fl.i2d_eps].set(
-                    jnp.where(m_keps, f_e, F[fl.i2d_eps]))
-            Src = Src.at[fl.i2d_k].set(jnp.where(m_keps, src_k,
-                                                 Src[fl.i2d_k]))
-            Src = Src.at[fl.i2d_eps].set(jnp.where(m_keps, src_e,
-                                                   Src[fl.i2d_eps]))
-        else:
-            # is_init axisym add-on zeroes F/Src of the turbulence eqs
-            F = F.at[fl.i2d_k].set(jnp.where(m_keps, 0.0, F[fl.i2d_k]))
-            F = F.at[fl.i2d_eps].set(jnp.where(m_keps, 0.0, F[fl.i2d_eps]))
-            Src = Src.at[fl.i2d_k].set(jnp.where(m_keps, 0.0,
-                                                 Src[fl.i2d_k]))
-            Src = Src.at[fl.i2d_eps].set(jnp.where(m_keps, 0.0,
-                                                   Src[fl.i2d_eps]))
-
-        S = S.at[fl.i2d_k].set(jnp.where(m_keps, Sk, S[fl.i2d_k]))
-        S = S.at[fl.i2d_eps].set(jnp.where(m_keps, Se, S[fl.i2d_eps]))
-        mu_t = jnp.where(m_keps, mu_t_ke, mu_t)
+    s[fl.i2d_k] = jnp.where(m_keps, Sk, s[fl.i2d_k])
+    s[fl.i2d_eps] = jnp.where(m_keps, Se, s[fl.i2d_eps])
+    mu_t = jnp.where(m_keps, mu_t_ke, mu_t)
 
     # ---------------- Spalart-Allmaras (822-917) ---------------------------
-    if True:
-        Snu = S[fl.i2d_nu_t]
-        wall = (iscond(ct, fl.CT_WALL_NO_SLIP_2D)
-                | iscond(ct, fl.CT_WALL_LAW_2D)
-                | iscond(tct, fl.TCT_nu_t_CONST_2D))
-        fc = iscond(ct, fl.NT_FC_2D)
-        nu = state.mu / rho_s
-        if is_init:
-            Snu_new = nu / 100.0
-            full = jnp.zeros_like(wall)
-        else:
-            full = ~wall & ~fc
-            Snu_new = jnp.where(wall, 0.0,
-                                jnp.where(fc, nu * TURB_INTENSITY, Snu))
-        Cb1, Cb2, sig_sa = 0.1355, 0.622, 2.0 / 3.0
-        kk = 0.41
-        Cw1 = Cb1 / (kk * kk) + (1 + Cb2) / sig_sa
-        Cw2, Cw3, Cv1 = 0.3, 2.0, 7.1
-        Ct2, Ct4, C5 = 2.0, 0.5, 3.5
-        k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
-        a_sound2 = k_cpcv * state.R * state.Tg
-        ksi = _safe_div(Snu, nu)
-        fv1_full = ksi ** 3 / (ksi ** 3 + Cv1 ** 3)
-        fv2 = 1.0 - ksi / (1.0 + ksi * fv1_full)
-        Wxy = 0.5 * (state.dVdx - state.dUdy)
-        Omega = jnp.sqrt(2.0 * Wxy * Wxy)
-        l_min_s = jnp.where(meta.l_min != 0, meta.l_min, 1)
-        S_hat = Omega + Snu / (kk * kk * l_min_s * l_min_s) * fv2
-        S_hat = jnp.maximum(S_hat, 0.3 * Omega)
-        S_hat_s = jnp.where(S_hat != 0, S_hat, 1)
-        r_sa = jnp.minimum(Snu / (S_hat_s * kk * kk * l_min_s * l_min_s),
-                           10.0)
-        g_sa = r_sa + Cw2 * (r_sa ** 6 - r_sa)
-        g_s = jnp.where(g_sa != 0, g_sa, 1)
-        fw = g_sa * ((1.0 + Cw3 ** 6) / (g_s ** 6 + Cw3 ** 6)) ** (1.0 / 6.0)
-        ft2 = Ct2 * jnp.exp(-Ct4 * ksi * ksi)
-        nu_hat = _safe_div(mu_t, rho_s * jnp.where(fv1_full != 0,
-                                                   fv1_full, 1))
-        div_nu = state.dkdx + state.dkdy
-        rx_nu = (nu + Snu) * state.dkdx / sig_sa
-        ry_nu = (nu + Snu) * state.dkdy / sig_sa
-        a_nu = Snu * U - rx_nu
-        b_nu = Snu * V - ry_nu
-        src_nu = (Cb1 * (1.0 - ft2) * S_hat * Snu
-                  - (Cw1 * fw - Cb1 / (kk * kk) * ft2)
-                  * (Snu / l_min_s) ** 2
-                  + (Cb2 * div_nu * div_nu) / sig_sa
-                  - C5 * nu_hat * nu_hat
-                  * _safe_div(state.dUdy * state.dVdx, a_sound2))
-        if not is_init:
-            A = A.at[fl.i2d_nu_t].set(
-                jnp.where(m_sa & full, a_nu, A[fl.i2d_nu_t]))
-            B = B.at[fl.i2d_nu_t].set(
-                jnp.where(m_sa & full, b_nu, B[fl.i2d_nu_t]))
-            Src = Src.at[fl.i2d_nu_t].set(
-                jnp.where(m_sa & full, src_nu, Src[fl.i2d_nu_t]))
-            # axisym add-on for SA (hpp:246-247)
-            if p.ft == fl.FT_AXISYMMETRIC:
-                f_nu = (nu + Snu) * state.dkdy
-                F = F.at[fl.i2d_nu_t].set(
-                    jnp.where(m_sa, f_nu, F[fl.i2d_nu_t]))
-        else:
-            F = F.at[fl.i2d_nu_t].set(jnp.where(m_sa, 0.0,
-                                                F[fl.i2d_nu_t]))
-            Src = Src.at[fl.i2d_nu_t].set(jnp.where(m_sa, 0.0,
-                                                    Src[fl.i2d_nu_t]))
-        S = S.at[fl.i2d_nu_t].set(jnp.where(m_sa, Snu_new,
-                                            S[fl.i2d_nu_t]))
-        fv1_eff = jnp.where(full, fv1_full, 1.0)
-        mu_t_sa = jnp.maximum(0.0, rho * S[fl.i2d_nu_t] * fv1_eff)
-        mu_t = jnp.where(m_sa & is_mu_t, mu_t_sa, mu_t)
-        lam_t = jnp.where(m_sa & is_mu_t, mu_t * state.CP, lam_t)
+    Snu = s[fl.i2d_nu_t]
+    wall = (iscond(ct, fl.CT_WALL_NO_SLIP_2D)
+            | iscond(ct, fl.CT_WALL_LAW_2D)
+            | iscond(tct, fl.TCT_nu_t_CONST_2D))
+    fc = iscond(ct, fl.NT_FC_2D)
+    nu = state.mu / rho_s
+    if is_init:
+        Snu_new = nu / 100.0
+        full = jnp.zeros_like(wall)
+    else:
+        full = ~wall & ~fc
+        Snu_new = jnp.where(wall, 0.0,
+                            jnp.where(fc, nu * TURB_INTENSITY, Snu))
+    Cb1, Cb2, sig_sa = 0.1355, 0.622, 2.0 / 3.0
+    kk = 0.41
+    Cw1 = Cb1 / (kk * kk) + (1 + Cb2) / sig_sa
+    Cw2, Cw3, Cv1 = 0.3, 2.0, 7.1
+    Ct2, Ct4, C5 = 2.0, 0.5, 3.5
+    k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
+    a_sound2 = k_cpcv * state.R * state.Tg
+    ksi = _safe_div(Snu, nu)
+    fv1_full = ksi ** 3 / (ksi ** 3 + Cv1 ** 3)
+    fv2 = 1.0 - ksi / (1.0 + ksi * fv1_full)
+    Wxy = 0.5 * (state.dVdx - state.dUdy)
+    Omega = jnp.sqrt(2.0 * Wxy * Wxy)
+    l_min_s = jnp.where(meta.l_min != 0, meta.l_min, 1)
+    S_hat = Omega + Snu / (kk * kk * l_min_s * l_min_s) * fv2
+    S_hat = jnp.maximum(S_hat, 0.3 * Omega)
+    S_hat_s = jnp.where(S_hat != 0, S_hat, 1)
+    r_sa = jnp.minimum(Snu / (S_hat_s * kk * kk * l_min_s * l_min_s), 10.0)
+    g_sa = r_sa + Cw2 * (r_sa ** 6 - r_sa)
+    g_s = jnp.where(g_sa != 0, g_sa, 1)
+    fw = g_sa * ((1.0 + Cw3 ** 6) / (g_s ** 6 + Cw3 ** 6)) ** (1.0 / 6.0)
+    ft2 = Ct2 * jnp.exp(-Ct4 * ksi * ksi)
+    nu_hat = _safe_div(mu_t, rho_s * jnp.where(fv1_full != 0, fv1_full, 1))
+    div_nu = state.dkdx + state.dkdy
+    rx_nu = (nu + Snu) * state.dkdx / sig_sa
+    ry_nu = (nu + Snu) * state.dkdy / sig_sa
+    src_nu = (Cb1 * (1.0 - ft2) * S_hat * Snu
+              - (Cw1 * fw - Cb1 / (kk * kk) * ft2) * (Snu / l_min_s) ** 2
+              + (Cb2 * div_nu * div_nu) / sig_sa
+              - C5 * nu_hat * nu_hat
+              * _safe_div(state.dUdy * state.dVdx, a_sound2))
+    if not is_init:
+        a_l[fl.i2d_nu_t] = jnp.where(m_sa & full, Snu * U - rx_nu,
+                                     a_l[fl.i2d_nu_t])
+        b_l[fl.i2d_nu_t] = jnp.where(m_sa & full, Snu * V - ry_nu,
+                                     b_l[fl.i2d_nu_t])
+        src[fl.i2d_nu_t] = jnp.where(m_sa & full, src_nu,
+                                     src[fl.i2d_nu_t])
+        # axisym add-on for SA (hpp:246-247)
+        if p.ft == fl.FT_AXISYMMETRIC:
+            f_nu = (nu + Snu) * state.dkdy
+            f_l[fl.i2d_nu_t] = jnp.where(m_sa, f_nu, f_l[fl.i2d_nu_t])
+    else:
+        f_l[fl.i2d_nu_t] = jnp.where(m_sa, 0.0, f_l[fl.i2d_nu_t])
+        src[fl.i2d_nu_t] = jnp.where(m_sa, 0.0, src[fl.i2d_nu_t])
+    s[fl.i2d_nu_t] = jnp.where(m_sa, Snu_new, s[fl.i2d_nu_t])
+    fv1_eff = jnp.where(full, fv1_full, 1.0)
+    mu_t_sa = jnp.maximum(0.0, rho * s[fl.i2d_nu_t] * fv1_eff)
+    mu_t = jnp.where(m_sa & is_mu_t, mu_t_sa, mu_t)
+    lam_t = jnp.where(m_sa & is_mu_t, mu_t * state.CP, lam_t)
 
     # ---------------- Smagorinsky LES (927-956) ----------------------------
     Cs = 0.1
@@ -513,7 +461,7 @@ def _turb_mod_rans(state, meta, p, S, U, V, A, B, F, Src, mu_t, lam_t,
     mu_t = jnp.where(m_smag & is_mu_t, mu_t_sm, mu_t)
     lam_t = jnp.where(m_smag & is_mu_t, mu_t * state.CP, lam_t)
 
-    return S, A, B, F, Src, mu_t, lam_t
+    return mu_t, lam_t
 
 
 def calc_chemical_reactions(state: SolverState, meta: GridMeta,
@@ -587,35 +535,25 @@ def calc_chemical_reactions(state: SolverState, meta: GridMeta,
     Ycp = Ycp * Y0
     Yair = Yair * Y0
 
-    Yc_new = state.Yc
-    for c, val in zip(range(4), (Yfu, Yox, Ycp, Yair)):
-        Yc_new = Yc_new.at[c].set(jnp.where(active, val, state.Yc[c]))
+    Yc_new = jnp.stack([
+        jnp.where(active, val, state.Yc[c])
+        for c, val in zip(range(4), (Yfu, Yox, Ycp, Yair))])
 
-    S_new = S
     store = react
-    S_new = S_new.at[fl.i2d_Yfu].set(
-        jnp.where(store, jnp.abs(Yfu * rho), S[fl.i2d_Yfu]))
-    S_new = S_new.at[fl.i2d_Yox].set(
-        jnp.where(store, jnp.abs(Yox * rho), S[fl.i2d_Yox]))
-    S_new = S_new.at[fl.i2d_Ycp].set(
-        jnp.where(store, jnp.abs(Ycp * rho), S[fl.i2d_Ycp]))
+    S_new = jnp.stack([
+        S[0], S[1], S[2], S[3],
+        jnp.where(store, jnp.abs(Yfu * rho), S[fl.i2d_Yfu]),
+        jnp.where(store, jnp.abs(Yox * rho), S[fl.i2d_Yox]),
+        jnp.where(store, jnp.abs(Ycp * rho), S[fl.i2d_Ycp]),
+        S[7], S[8]])
 
-    return SolverState(
-        S=S_new, beta=state.beta, A=state.A, B=state.B, F=state.F,
-        dSdx=state.dSdx, dSdy=state.dSdy, Src=state.Src,
-        SrcAdd=state.SrcAdd, U=state.U, V=state.V, p=state.p, Tg=state.Tg,
-        Yc=Yc_new,
-        R=jnp.where(active, R_new, state.R),
-        CP=jnp.where(active, CP_new, state.CP),
-        lam=jnp.where(active, lam_new, state.lam),
-        mu=jnp.where(active, mu_new, state.mu),
-        mu_t=state.mu_t, lam_t=state.lam_t,
-        droYdx=state.droYdx, droYdy=state.droYdy,
-        dUdx=state.dUdx, dUdy=state.dUdy, dVdx=state.dVdx, dVdy=state.dVdy,
-        dTdx=state.dTdx, dTdy=state.dTdy,
-        dkdx=state.dkdx, dkdy=state.dkdy, depsdx=state.depsdx,
-        depsdy=state.depsdy,
-        y_plus=state.y_plus, Q_conv=state.Q_conv, dt=state.dt)
+    return SolverState(**{
+        **state.__dict__,
+        "S": S_new, "Yc": Yc_new,
+        "R": jnp.where(active, R_new, state.R),
+        "CP": jnp.where(active, CP_new, state.CP),
+        "lam": jnp.where(active, lam_new, state.lam),
+        "mu": jnp.where(active, mu_new, state.mu)})
 
 
 def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
@@ -654,10 +592,6 @@ def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
     def syu(q):
         return jnp.concatenate([q[:, 1:], q[:, -1:]], axis=1)
 
-    # contribution of the gas visitor in each direction, evaluated AT the
-    # solid node s; shifts bring the gas node's fields to s
-    # visitor order per solid node: R-facing gas (I-1,J), then (I,J-1),
-    # (I,J+1), (I+1,J)
     visitors = []
     for shift_in, d in ((sxl, p.dx),   # gas at I-1 (shift gas fields +x)
                         (syd, p.dy),   # gas at J-1
@@ -676,11 +610,6 @@ def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
     # SrcAdd[rhoE] per gas node: directions processed D, U, L, R — the last
     # solid direction wins; uses the solid's Q right after this gas node's
     # own write (q_after rank of that (solid, visitor) pair).
-    q_when_gas_below = sxl(q_after[3])   # gas (I,J) visited solid (I+1,J)?
-    # map: gas g at (i,j); solid below = (i,j-1): g is the "syu" visitor
-    # (rank 2); solid above = (i,j+1): g is "syd" visitor (rank 1);
-    # solid left = (i-1,j): g is "sxr" visitor (rank 3); solid right =
-    # (i+1,j): g is "sxl" visitor (rank 0).
     src_e = state.SrcAdd[fl.i2d_RhoE]
     down_solid = wall & syd(solid)
     src_e = jnp.where(down_solid, -dt_ * syd(q_after[2]) / p.dy, src_e)
@@ -691,6 +620,8 @@ def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
     right_solid = wall & sxr(solid)
     src_e = jnp.where(right_solid, -dt_ * sxr(q_after[0]) / p.dx, src_e)
 
-    src_add = state.SrcAdd.at[fl.i2d_RhoE].set(src_e)
+    ne = fl.NUM_EQ
+    src_add = jnp.stack([state.SrcAdd[e] if e != fl.i2d_RhoE else src_e
+                         for e in range(ne)])
     return SolverState(**{**state.__dict__, "SrcAdd": src_add,
                           "Q_conv": q})

@@ -288,8 +288,8 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
 
         dydx_ok = ~iscond(meta.CT, fl.CT_dYdx_NULL_2D)
         dydy_ok = ~iscond(meta.CT, fl.CT_dYdy_NULL_2D)
-        droYdx = st.droYdx
-        droYdy = st.droYdy
+        droYdx_l = []
+        droYdy_l = []
         air_R = Sc_R[fl.i2d_Rho]
         air_L = Sc_L[fl.i2d_Rho]
         air_U = Sc_U[fl.i2d_Rho]
@@ -297,20 +297,22 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
         for k in range(4, 7):
             gx = (Sc_R[k] - Sc_L[k]) * dx1nn
             gy = (Sc_U[k] - Sc_D[k]) * dy1mm
-            droYdx = droYdx.at[k - 4].set(
+            droYdx_l.append(
                 jnp.where(active & dydx_ok, gx, st.droYdx[k - 4]))
-            droYdy = droYdy.at[k - 4].set(
+            droYdy_l.append(
                 jnp.where(active & dydy_ok, gy, st.droYdy[k - 4]))
             air_R = air_R - jnp.where(dydx_ok, Sc_R[k], 0.0)
             air_L = air_L - jnp.where(dydx_ok, Sc_L[k], 0.0)
             air_U = air_U - jnp.where(dydy_ok, Sc_U[k], 0.0)
             air_D = air_D - jnp.where(dydy_ok, Sc_D[k], 0.0)
-        droYdx = droYdx.at[fl.NUM_COMPONENTS].set(
+        droYdx_l.append(
             jnp.where(active & dydx_ok, (air_R - air_L) * dx1nn,
                       jnp.where(active, 0.0, st.droYdx[fl.NUM_COMPONENTS])))
-        droYdy = droYdy.at[fl.NUM_COMPONENTS].set(
+        droYdy_l.append(
             jnp.where(active & dydy_ok, (air_U - air_D) * dy1mm,
                       jnp.where(active, 0.0, st.droYdy[fl.NUM_COMPONENTS])))
+        droYdx = jnp.stack(droYdx_l)
+        droYdy = jnp.stack(droYdy_l)
 
         wall = (iscond(meta.CT, fl.CT_WALL_NO_SLIP_2D)
                 | iscond(meta.CT, fl.CT_WALL_LAW_2D))
