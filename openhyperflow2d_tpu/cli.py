@@ -1,0 +1,153 @@
+"""Command-line entry point: the hf2d_start equivalent.
+
+Usage::
+
+    python -m openhyperflow2d_tpu <deck.dat> [options]
+
+Runs the deck with the reference's outer-cycle structure
+(hf2d_start.cpp:32-368 + DEEPS2D_Run rank-0 work at
+deeps2d_core.cpp:1716-1848): every cycle of Nstep inner iterations it
+re-applies gas sources, reports XCut mass flow, appends the Tecplot
+transient file, rewrites the gnuplot snapshot, writes RMS / monitor rows,
+saves heat-flux profiles and Cx/Cy, checkpoints, and evaluates the exit
+monitor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="openhyperflow2d-tpu",
+        description="TPU-native 2D compressible flow solver "
+                    "(deck-compatible with OpenHyperFLOW2D)")
+    ap.add_argument("deck", help="project deck file (.dat)")
+    ap.add_argument("--dtype", default=None,
+                    help="float32|float64 (default: float32 on TPU, "
+                    "float64 on CPU)")
+    ap.add_argument("--max-cycles", type=int, default=None)
+    ap.add_argument("--serial-dt", action="store_true",
+                    help="replicate the serial reference's monotone dt")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard over N devices (0 = all available)")
+    ap.add_argument("--outdir", default=".")
+    ap.add_argument("--restore", default=None,
+                    help="checkpoint file to resume from")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from .config.deck import load_deck
+    from .geometry.sources import apply_sources
+    from .io_out.tecplot import (save_data_2d, save_monitors_header,
+                                 save_monitors_row, save_rms_header,
+                                 save_rms_rows)
+    from .parallel.mesh import make_mesh, shard_solver
+    from .postproc.outcfd import (calc_mass_flow_rate_x, save_x_heat_flux,
+                                  save_y_heat_flux)
+    from .solver.checkpoint import load_checkpoint, save_checkpoint
+    from .solver.init import build_case
+    from .solver.runner import Solver
+
+    platform = jax.devices()[0].platform
+    dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
+
+    print(f"Load {args.deck!r} ...", flush=True)
+    deck = load_deck(args.deck)
+    case = build_case(deck, dtype=dtype, serial_dt_mode=args.serial_dt)
+    name = case.project_name or "out"
+    print(f"X={case.params.MaxX} Y={case.params.MaxY} "
+          f"dx={case.params.dx} dy={case.params.dy} dtype={dtype}")
+
+    solver = Solver(case)
+    n_dev = args.devices or len(jax.devices())
+    if n_dev > 1:
+        shard_solver(solver, make_mesh(n_dev))
+        print(f"sharded over {n_dev} devices")
+
+    ckpt_path = os.path.join(args.outdir, f"{name}.ckpt.npz")
+    if args.restore:
+        load_checkpoint(args.restore, solver)
+        print(f"restored from {args.restore}: iter={solver.last_iter} "
+              f"t={solver.global_time}")
+
+    rms_path = os.path.join(args.outdir, f"RMS-{name}")
+    mon_path = os.path.join(args.outdir, f"Monitors-{name}")
+    plt_path = os.path.join(args.outdir, f"{name}.plt")
+    tp_path = os.path.join(args.outdir, f"tp-{name}.plt")
+    save_rms_header(rms_path)
+    if case.monitor_points:
+        save_monitors_header(mon_path, len(case.monitor_points))
+
+    cycles = 0
+    while True:
+        t0 = time.time()
+        diags, secs = solver.run_cycle()
+        cycles += 1
+        mrms, k = solver.max_rms(diags)
+        print(f"Cycle {cycles}: iter={solver.last_iter} "
+              f"maxRMS[{k}]={mrms * 100:.4f}% t={solver.global_time:.6g}s "
+              f"({solver.stats.steps_per_sec:.1f} step/sec)", flush=True)
+
+        # rank-0 outer-cycle work (deeps2d_core.cpp:1716-1848)
+        if case.sources:
+            apply_sources(case.grid, case.sources, solver.last_iter)
+            import jax.numpy as jnp
+            solver._src_ext = jnp.asarray(case.grid.Src, solver.params.jdtype)
+            solver._chunk_fn = jax.jit(solver._make_chunk_fn(),
+                                       static_argnums=(1,))
+        st = solver.host_state()
+        for (x0, y0, dyc) in case.xcuts:
+            mp = calc_mass_flow_rate_x(case.grid, st, x0, y0, dyc)
+            print(f"XCut x0={x0} y0={y0} dy={dyc}: mass flow {mp:.6g} kg/s")
+        rms_hist = np.asarray(diags["RMS"])
+        save_rms_rows(rms_path, solver.last_iter - rms_hist.shape[0],
+                      rms_hist, every=case.NOutStep)
+        if case.monitor_points:
+            probes = [solver.probe(mp.x, mp.y) for mp in case.monitor_points]
+            save_monitors_row(mon_path, solver.global_time, probes)
+        if cycles % max(case.NSaveStep, 1) == 0:
+            save_data_2d(plt_path, case.grid, st, case.params,
+                         solver.global_time, mode_append=False,
+                         is_p_asterisk_out=case.is_p_asterisk_out)
+            save_data_2d(tp_path, case.grid, st, case.params,
+                         solver.global_time, mode_append=(cycles > 1),
+                         is_p_asterisk_out=case.is_p_asterisk_out)
+        if case.isOutHeatFluxX and case.flow2d_list:
+            save_x_heat_flux(os.path.join(args.outdir, f"HeatFlux-X-{name}"),
+                             case.grid, st, case.flow2d_list[0],
+                             case.params.Ts0, case.params.MaxY, 0)
+        if case.isOutHeatFluxY:
+            save_y_heat_flux(os.path.join(args.outdir, f"HeatFlux-Y-{name}"),
+                             case.grid, st, case.params.Ts0)
+        save_checkpoint(ckpt_path, solver)
+
+        if solver.stats.unstable:
+            err_path = os.path.join(args.outdir, f"{name}-err.plt")
+            save_data_2d(err_path, case.grid, st, case.params,
+                         solver.global_time)
+            print(f"ERROR: Computational instability (Tg < 0); error "
+                  f"snapshot saved to {err_path}")
+            return 1
+        if not solver.monitor_condition(diags):
+            break
+        if args.max_cycles and cycles >= args.max_cycles:
+            break
+
+    st = solver.host_state()
+    save_data_2d(plt_path, case.grid, st, case.params, solver.global_time,
+                 is_p_asterisk_out=case.is_p_asterisk_out)
+    print(f'Results saved in file "{plt_path}".\n\n'
+          f"Ready. Computation finished.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,398 @@
+"""Post-processing parameters: totals, mass flow, forces, heat flux.
+
+numpy re-implementation of libOutCFD (out_cfd_param.cpp:14-810): total
+pressure/temperature, Schliren, averaged p/T probes, cross-section area and
+mass-flow integrals, wall force integrals (flat / axisymmetric weights),
+pressure and force coefficients Cp/Cx/Cy, nozzle discharge/thrust
+coefficients Cd/Cv, and wall heat-flux / Stanton-number profiles.
+
+Functions take host-side arrays (numpy views of the solver state + the
+HostGrid metadata) and are exact ports of the reference formulas, including
+the axisymmetric 2*pi*r area weights.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..core import flags as fl
+
+PI = math.pi
+
+
+def _k_arr(state):
+    CP = np.asarray(state.CP)
+    R = np.asarray(state.R)
+    den = np.where(CP != R, CP - R, 1.0)
+    return np.where(CP != R, CP / den, 0.0)
+
+
+def p_asterisk(state):
+    """Total pressure p* (out_cfd_param.cpp:23-31)."""
+    k = _k_arr(state)
+    Tg = np.asarray(state.Tg)
+    U = np.asarray(state.U)
+    V = np.asarray(state.V)
+    a = np.sqrt(np.maximum(k * np.asarray(state.R) * Tg, 1e-300))
+    mach = np.sqrt(U * U + V * V) / a
+    return np.asarray(state.p) * (1.0 + (k - 1.0) * 0.5 * mach ** 2) ** (
+        k / np.where(k != 1, k - 1.0, 1.0))
+
+
+def t_asterisk(state):
+    """Dynamic-temperature term (out_cfd_param.cpp:38-45)."""
+    CP = np.asarray(state.CP)
+    U = np.asarray(state.U)
+    V = np.asarray(state.V)
+    return np.where(CP > 0, (U * U + V * V) * 0.5 / np.where(CP > 0, CP, 1),
+                    0.0)
+
+
+def schliren(state):
+    """|grad rho| from the stored dSdx/dSdy (out_cfd_param.cpp:33-35)."""
+    gx = np.asarray(state.dSdx)[fl.i2d_Rho]
+    gy = np.asarray(state.dSdy)[fl.i2d_Rho]
+    return np.sqrt(gx * gx + gy * gy)
+
+
+def _radius(grid, j):
+    return (j + 0.5) * grid.dy
+
+
+def calc_average_pressure(grid, state, x0, l, d):
+    """CalcaveragePressure2D (47-90)."""
+    solid = grid.is_cond(fl.CT_SOLID_2D)
+    i_idx = np.arange(grid.MaxX)[:, None]
+    j_idx = np.arange(grid.MaxY)[None, :]
+    sel = (~solid & (i_idx > int(x0 / grid.dx))
+           & (i_idx < int((l + x0) / grid.dx))
+           & (j_idx < int(d / grid.dy)))
+    p = np.asarray(state.p)
+    if not sel.any():
+        return 0.0
+    if grid.ft == fl.FT_AXISYMMETRIC:
+        v_i = 2 * PI * _radius(grid, j_idx) * grid.dy * grid.dx
+        v_i = np.broadcast_to(v_i, sel.shape)
+        return float((p * v_i)[sel].sum() / v_i[sel].sum())
+    return float(p[sel].mean())
+
+
+def calc_average_temperature(grid, state, x0, l, d, is_mid_enthalpy=False):
+    """CalcaverageTemperature2D (92-140)."""
+    solid = grid.is_cond(fl.CT_SOLID_2D)
+    i_idx = np.arange(grid.MaxX)[:, None]
+    j_idx = np.arange(grid.MaxY)[None, :]
+    sel = (~solid & (i_idx > int(x0 / grid.dx))
+           & (i_idx < int((l + x0) / grid.dx))
+           & (j_idx < int(d / grid.dy)))
+    Tg = np.asarray(state.Tg)
+    if not sel.any():
+        return 0.0
+    if grid.ft == fl.FT_AXISYMMETRIC:
+        v_i = 2 * PI * _radius(grid, j_idx) * grid.dy * grid.dx
+        v_i = np.broadcast_to(v_i, sel.shape).copy()
+        if is_mid_enthalpy:
+            v_i = v_i * np.asarray(state.CP)
+        return float((Tg * v_i)[sel].sum() / v_i[sel].sum())
+    return float(Tg[sel].mean())
+
+
+def calc_area_x(grid, x0, y0, dy):
+    """CalcArea2D (142-168): open cross-section area at station x0."""
+    i = int(x0 / grid.dx)
+    j0 = int(y0 / grid.dy)
+    j1 = int((y0 + dy) / grid.dy)
+    solid = grid.is_cond(fl.CT_SOLID_2D)[i, j0:j1]
+    if grid.ft == fl.FT_FLAT:
+        return float((~solid).sum() * grid.dy)
+    r = _radius(grid, np.arange(j0, j1))
+    return float((2 * PI * grid.dy * r * ~solid).sum())
+
+
+def calc_mass_flow_rate_x(grid, state, x0, y0, dy):
+    """CalcMassFlowRateX2D (170-196)."""
+    i = int(x0 / grid.dx)
+    j0 = int(y0 / grid.dy)
+    j1 = int((y0 + dy) / grid.dy)
+    solid = grid.is_cond(fl.CT_SOLID_2D)[i, j0:j1]
+    rhoU = np.asarray(state.S)[fl.i2d_RhoU][i, j0:j1]
+    if grid.ft == fl.FT_FLAT:
+        return float((grid.dy * rhoU * ~solid).sum())
+    r = _radius(grid, np.arange(j0, j1))
+    return float((2 * PI * grid.dy * r * rhoU * ~solid).sum())
+
+
+def _wall_mask(grid):
+    return (grid.is_cond(fl.CT_WALL_LAW_2D)
+            | grid.is_cond(fl.CT_WALL_NO_SLIP_2D))
+
+
+def _window(grid, x0, y0, dx, dy):
+    i_idx = np.arange(grid.MaxX)[:, None]
+    j_idx = np.arange(grid.MaxY)[None, :]
+    return ((i_idx >= int(x0 / grid.dx)) & (i_idx <= int((x0 + dx) / grid.dx))
+            & (j_idx >= int(y0 / grid.dy))
+            & (j_idx <= int((y0 + dy) / grid.dy)))
+
+
+def _shift(q, di, dj, fill=False):
+    out = np.full_like(q, fill)
+    if di == -1:
+        out[1:, :] = q[:-1, :]
+    elif di == 1:
+        out[:-1, :] = q[1:, :]
+    elif dj == -1:
+        out[:, 1:] = q[:, :-1]
+    elif dj == 1:
+        out[:, :-1] = q[:, 1:]
+    else:
+        out = q.copy()
+    return out
+
+
+def calc_x_force(grid, state, x0, y0, dx, dy):
+    """CalcXForce2D (256-318): pressure + viscous drag on wall nodes."""
+    wall = _wall_mask(grid) & _window(grid, x0, y0, dx, dy)
+    solid = grid.is_cond(fl.CT_SOLID_2D)
+    p = np.asarray(state.p)
+    mu_eff = np.asarray(state.mu) + np.asarray(state.mu_t)
+    dUdy = np.abs(np.asarray(state.dUdy))
+    U = np.asarray(state.U)
+    j_idx = np.arange(grid.MaxY)[None, :]
+
+    if grid.ft == fl.FT_FLAT:
+        Sp = grid.dy
+        Sd = grid.dx
+    else:
+        Sp = 2 * PI * (j_idx + 0.5) * grid.dy * grid.dy
+        Sd = 2 * PI * (j_idx + 0.5) * grid.dy * grid.dx
+
+    solid_left = _shift(solid, -1, 0)
+    solid_right = _shift(solid, 1, 0)
+    fp = np.where(wall & solid_left, -Sp * p,
+                  np.where(wall & ~solid_left & solid_right, Sp * p, 0.0))
+
+    gas_up = ~_shift(solid, 0, 1, fill=True)
+    gas_dn = ~_shift(solid, 0, -1, fill=True)
+    u_up = _shift(U, 0, 1)
+    u_dn = _shift(U, 0, -1)
+    drag = Sd * mu_eff * dUdy
+    fd = np.where(wall & gas_up, np.where(u_up > 0, drag, -drag),
+                  np.where(wall & gas_dn,
+                           np.where(u_dn > 0, drag, -drag), 0.0))
+    return float(fp.sum() + fd.sum())
+
+
+def calc_y_force(grid, state, x0, y0, dx, dy):
+    """CalcYForce2D (320-382)."""
+    wall = _wall_mask(grid) & _window(grid, x0, y0, dx, dy)
+    solid = grid.is_cond(fl.CT_SOLID_2D)
+    p = np.asarray(state.p)
+    mu_eff = np.asarray(state.mu) + np.asarray(state.mu_t)
+    dVdx = np.abs(np.asarray(state.dVdx))
+    V = np.asarray(state.V)
+    j_idx = np.arange(grid.MaxY)[None, :]
+
+    if grid.ft == fl.FT_FLAT:
+        Sp = grid.dx
+        Sd = grid.dy
+    else:
+        Sp = 2 * PI * _radius(grid, j_idx) * grid.dx
+        Sd = 2 * PI * _radius(grid, j_idx) * grid.dy
+
+    solid_dn = _shift(solid, 0, -1)
+    solid_up = _shift(solid, 0, 1)
+    fp = np.where(wall & solid_dn, -Sp * p,
+                  np.where(wall & ~solid_dn & solid_up, Sp * p, 0.0))
+
+    gas_right = ~_shift(solid, 1, 0, fill=True)
+    gas_left = ~_shift(solid, -1, 0, fill=True)
+    v_r = _shift(V, 1, 0)
+    v_l = _shift(V, -1, 0)
+    drag = -Sd * mu_eff * dVdx
+    fd = np.where(wall & gas_right, np.where(v_r > 0, drag, -drag),
+                  np.where(wall & gas_left,
+                           np.where(v_l > 0, drag, -drag), 0.0))
+    return float(fp.sum() + fd.sum())
+
+
+def calc_cp(state, grid, flow2d):
+    """Calc_Cp per node (384-389)."""
+    wall_ns = grid.is_cond(fl.CT_WALL_NO_SLIP_2D)
+    q = 0.5 * flow2d.ROG() * flow2d.Wg() ** 2
+    return np.where(wall_ns, (np.asarray(state.p) - flow2d.Pg()) / q, 0.0)
+
+
+def get_s(grid, x0, y0, dx, dy):
+    """GetS (431-464): chord length of the wall window."""
+    wall = _wall_mask(grid) & _window(grid, x0, y0, dx, dy)
+    return float(wall.any(axis=1).sum() * grid.dx)
+
+
+def get_fmid(grid, x0, y0, dx, dy):
+    """GetFmid (391-429): frontal area of the wall window."""
+    wall = _wall_mask(grid) & _window(grid, x0, y0, dx, dy)
+    rows = wall.any(axis=0)
+    if grid.ft == fl.FT_FLAT:
+        return float(rows.sum() * grid.dy)
+    j = np.arange(grid.MaxY)
+    return float((2 * PI * (j + 0.5) * grid.dy * grid.dy * rows).sum())
+
+
+def calc_cx(grid, state, x0, y0, dx, dy, flow2d):
+    """Calc_Cx_2D (466-480)."""
+    pmax = flow2d.ROG() * flow2d.Wg() ** 2 * 0.5 * get_s(grid, x0, y0, dx,
+                                                         dy)
+    if pmax == 0.0:
+        return 0.0
+    return calc_x_force(grid, state, x0, y0, dx, dy) / pmax
+
+
+def calc_cy(grid, state, x0, y0, dx, dy, flow2d):
+    """Calc_Cy_2D (482-497)."""
+    pmax = flow2d.ROG() * flow2d.Wg() ** 2 * 0.5 * get_s(grid, x0, y0, dx,
+                                                         dy)
+    if pmax == 0.0:
+        return 0.0
+    return calc_y_force(grid, state, x0, y0, dx, dy) / pmax
+
+
+def calc_cd(grid, state, x0, y0, dy, flow2d):
+    """Nozzle discharge coefficient Calc_Cd (801-809)."""
+    area = calc_area_x(grid, x0, y0, dy)
+    if area == 0.0:
+        return 0.0
+    return (calc_mass_flow_rate_x(grid, state, x0, y0, dy)
+            / flow2d.ROG() / flow2d.Wg() / area)
+
+
+def calc_cv(grid, state, x0, y0, dy, p_amb, flow2d):
+    """Nozzle thrust coefficient Calc_Cv (762-798)."""
+    i = int(x0 / grid.dx)
+    j0 = int(y0 / grid.dy)
+    j1 = int((y0 + dy) / grid.dy)
+    solid = grid.is_cond(fl.CT_SOLID_2D)[i, j0:j1]
+    rhoU = np.asarray(state.S)[fl.i2d_RhoU][i, j0:j1]
+    U = np.asarray(state.U)[i, j0:j1]
+    p = np.asarray(state.p)[i, j0:j1]
+    if grid.ft == fl.FT_FLAT:
+        fv = (grid.dy * (rhoU * U + (p - p_amb)) * ~solid).sum()
+    else:
+        r = _radius(grid, np.arange(j0, j1))
+        fv = (2 * PI * grid.dy * r * (rhoU * U + (p - p_amb)) * ~solid).sum()
+    mp = calc_mass_flow_rate_x(grid, state, x0, y0, dy)
+    if mp > 0.0:
+        return float(fv / (flow2d.U() * mp))
+    return 0.0
+
+
+def smooth_x(a):
+    """SmoothX (512-522) — in-place forward sweep, order-faithful."""
+    X, Y = a.shape
+    for j in range(Y):
+        for i in range(1, X - 1):
+            if a[i + 1, j] > 0.0 and a[i - 1, j] > 0.0:
+                a[i, j] = 0.5 * (a[i + 1, j] + a[i - 1, j])
+    return a
+
+
+def smooth_y(a):
+    """SmoothY (500-510)."""
+    X, Y = a.shape
+    for j in range(1, Y - 1):
+        for i in range(X):
+            if a[i, j + 1] > 0.0 and a[i, j - 1] > 0.0:
+                a[i, j] = 0.5 * (a[i, j + 1] + a[i, j - 1])
+    return a
+
+
+def _lam_eff_5pt(grid, state):
+    """5-point averaged effective conductivity used by the heat-flux
+    profiles (out_cfd_param.cpp:587-625; the GetValue-based neighbors are
+    always present, so the average is over the node + its 4 collapsed
+    neighbors)."""
+    lam_e = np.asarray(state.lam) + np.asarray(state.lam_t)
+    X, Y = lam_e.shape
+    i_idx = np.arange(X)[:, None] + np.zeros((1, Y), int)
+    j_idx = np.arange(Y)[None, :] + np.zeros((X, 1), int)
+    n1 = grid.idXl.astype(int)
+    n2 = grid.idXr.astype(int)
+    n3 = grid.idYu.astype(int)
+    n4 = grid.idYd.astype(int)
+    acc = (lam_e
+           + lam_e[np.clip(i_idx - n1, 0, X - 1), j_idx]
+           + lam_e[np.clip(i_idx + n2, 0, X - 1), j_idx]
+           + lam_e[i_idx, np.clip(j_idx + n3, 0, Y - 1)]
+           + lam_e[i_idx, np.clip(j_idx - n4, 0, Y - 1)])
+    return acc / 5.0
+
+
+def save_x_heat_flux(path, grid, state, flow2d, Ts, y_max, y_min):
+    """SaveXHeatFlux2D (524-691): per-column max wall heat flux profile,
+    heat-exchange coefficient, Cp and Stanton number."""
+    X, Y = grid.MaxX, grid.MaxY
+    wall_ns = grid.is_cond(fl.CT_WALL_NO_SLIP_2D)
+    Tg = np.asarray(state.Tg)
+    lam_eff = _lam_eff_5pt(grid, state)
+    trec = (1 + 0.45 * (flow2d.kg() - 1.0) * flow2d.MACH() ** 2) \
+        * flow2d.Tg()
+    q_all = lam_eff * (Tg - Ts) / grid.dy
+    alpha_all = lam_eff / grid.dy
+    cp_all = calc_cp(state, grid, flow2d)
+    st_all = q_all / (flow2d.ROG() * flow2d.Wg() * flow2d.C * (trec - Ts))
+
+    jlo = max(0, y_min)
+    jhi = min(y_max, Y - 1)
+    sel = np.zeros((X, Y), bool)
+    sel[:, jlo:jhi] = wall_ns[:, jlo:jhi]
+
+    heat = np.zeros(X)
+    alpha = np.zeros(X)
+    cp_prof = np.zeros(X)
+    st_prof = np.zeros(X)
+    for i in range(X):
+        js = np.nonzero(sel[i])[0]
+        for j in js:
+            q = q_all[i, j]
+            if heat[i] != 0.0:
+                heat[i] = max(heat[i], q)
+                alpha[i] = max(alpha[i], alpha_all[i, j])
+            else:
+                heat[i] = q
+                alpha[i] = alpha_all[i, j]
+            cp_prof[i] = cp_all[i, j]
+            st_prof[i] = st_all[i, j]
+
+    with open(path, "w") as f:
+        f.write("#VARIABLES = X, HeatFlux(X),  Alpha(X), Cp(X), St(X)\n")
+        for i in range(X):
+            f.write(f"{i * grid.dx:.6g} {heat[i]:.6g} {alpha[i]:.6g} "
+                    f"{cp_prof[i]:.6g} {st_prof[i]:.6g}\n")
+    return heat, alpha, cp_prof, st_prof
+
+
+def save_y_heat_flux(path, grid, state, Ts):
+    """SaveYHeatFlux2D (693-760)."""
+    X, Y = grid.MaxX, grid.MaxY
+    wall_ns = grid.is_cond(fl.CT_WALL_NO_SLIP_2D)
+    Tg = np.asarray(state.Tg)
+    lam_eff = _lam_eff_5pt(grid, state)
+    q_all = lam_eff * (Tg - Ts) / grid.dx
+    heat = np.zeros(Y)
+    for j in range(Y):
+        for i in range(X - 1):
+            if wall_ns[i, j]:
+                q = q_all[i, j]
+                heat[j] = max(heat[j], q) if heat[j] != 0.0 else q
+    with open(path, "w") as f:
+        f.write("#VARIABLES = Y, HeatFlux(Y)\n")
+        for j in range(Y):
+            f.write(f"{j * grid.dy:.6g} {heat[j]:.6g}\n")
+    return heat
+
+
+def re_airfoil(chord, flow2d):
+    """Re_Airfoil (14-16)."""
+    return flow2d.Wg() * chord * flow2d.ROG() / flow2d.mu

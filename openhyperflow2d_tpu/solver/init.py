@@ -429,7 +429,10 @@ def build_case(deck: Deck, dtype: str = "float64",
         grid.lam_t[:] = 0.0
 
     # ---- gas sources -------------------------------------------------------
-    sources = load_sources(deck, chem)
+    from ..geometry.sources import apply_sources, build_source_list
+    sources = build_source_list(deck, chem, grid)
+    if sources:
+        apply_sources(grid, sources, 0)
 
     set_nonreflected_bc(grid)
 
@@ -454,7 +457,10 @@ def build_case(deck: Deck, dtype: str = "float64",
         deck=deck, grid=grid, params=params, chem=chem,
         flow_list=flow_list, flow2d_list=flow2d_list,
         wall_nodes=wall_nodes, dt0=dt0,
-        Nstep=deck.get_int("Nmax"),
+        # InitSharedData: if NOutStep >= Nmax, Nstep = NOutStep+1 (275-276)
+        Nstep=(deck.get_int("Nmax")
+               if deck.get_int("Nmax") > max(deck.get_int("NOutStep"), 1)
+               else max(deck.get_int("NOutStep"), 1) + 1),
         NOutStep=max(deck.get_int("NOutStep"), 1),
         NSaveStep=deck.get_int("NSaveStep"),
         MonitorIndex=deck.get_int("MonitorIndex"),
@@ -496,25 +502,6 @@ def recalc_y_plus(grid: HostGrid) -> None:
     mu_s = np.where(grid.mu != 0, grid.mu, 1)
     yp = np.abs(u_w * mind * grid.S[fl.i2d_Rho] / mu_s)
     grid.y_plus = np.where(ok, yp, np.where(active, 0.0, grid.y_plus))
-
-
-def load_sources(deck: Deck, chem: ChemData) -> list:
-    """Gas source list definitions (hyper_flow_source.cpp:184-271)."""
-    sources = []
-    n = deck.get_int("NumSrc", 0, required=False)
-    for i in range(1, n + 1):
-        pre = f"Src{i}"
-        sources.append({
-            "sx": deck.get_int(f"{pre}.GasSrcSX", 0, required=False),
-            "sy": deck.get_int(f"{pre}.GasSrcSY", 0, required=False),
-            "ex": deck.get_int(f"{pre}.GasSrcEX", 0, required=False),
-            "ey": deck.get_int(f"{pre}.GasSrcEY", 0, required=False),
-            "comp": deck.get_int(f"{pre}.GasSrcIndex", 0, required=False),
-            "msrc": deck.get_float(f"{pre}.Msrc", 0, required=False),
-            "tsrc": deck.get_float(f"{pre}.Tsrc", 0, required=False),
-            "tf": deck.get_float(f"{pre}.Tf_src", 0, required=False),
-        })
-    return sources
 
 
 def chem_tables_device(chem: ChemData, dtype):
