@@ -73,6 +73,11 @@ def table_lookup(xs, ys, q):
     ``xs``/``ys`` are 1-D knot arrays (any jnp-compatible arrays), ``q`` is an
     arbitrary-shape query array.  Branch order matches the reference exactly:
     boundary checks win over the ascending bracket scan.
+
+    Implemented as a masked sum over segments with statically-indexed knots:
+    per-node gathers are extremely slow on the TPU scalar unit, while the
+    n-1 (<= ~16) masked fma terms are pure VPU work that XLA fuses into the
+    surrounding elementwise graph.
     """
     import jax.numpy as jnp
 
@@ -83,18 +88,29 @@ def table_lookup(xs, ys, q):
     if n == 1:
         return jnp.broadcast_to(ys[0], q.shape).astype(q.dtype)
 
-    qe = q[..., None]
-    bracket = (qe >= xs[:-1]) & (qe < xs[1:])           # (..., n-1)
-    has_bracket = jnp.any(bracket, axis=-1)
-    i_scan = jnp.argmax(bracket, axis=-1) + 1           # first match
-    i = jnp.where(q <= xs[0], 1,
-                  jnp.where(q >= xs[-1], n - 1,
-                            jnp.where(has_bracket, i_scan, n - 1)))
-    y_i = ys[i]
-    y_im1 = ys[i - 1]
-    x_i = xs[i]
-    x_im1 = xs[i - 1]
-    return y_i + (y_im1 - y_i) * (q - x_i) / (x_im1 - x_i)
+    lo = q <= xs[0]                 # -> segment 1
+    hi = (~lo) & (q >= xs[n - 1])   # -> segment n-1
+    mid = ~lo & ~hi
+
+    # first ascending bracket (exclusive running-or), C++ scan order
+    seen = jnp.zeros_like(lo)
+    first = []
+    for s in range(1, n):
+        b = (q >= xs[s - 1]) & (q < xs[s])
+        first.append(b & ~seen)
+        seen = seen | b
+    no_bracket = ~seen
+
+    out = jnp.zeros_like(q)
+    for s in range(1, n):
+        sel = mid & first[s - 1]
+        if s == 1:
+            sel = sel | lo
+        if s == n - 1:
+            sel = sel | hi | (mid & no_bracket)
+        seg = ys[s] + (ys[s - 1] - ys[s]) * (q - xs[s]) / (xs[s - 1] - xs[s])
+        out = out + jnp.where(sel, seg, 0.0)
+    return out
 
 
 @dataclass

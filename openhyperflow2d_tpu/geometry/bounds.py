@@ -139,22 +139,25 @@ def set_bound(grid: HostGrid, bound: Bound, collect=None):
             j = k1 + int((i - j1) / t) if t != 0.0 else k1
             points.append((j, i))
 
-    for (i, j) in points:
-        grid.CT[i, j] |= bound.ct | fl.CT_NODE_IS_SET_2D
-        grid.TCT[i, j] = bound.tct
-        grid.NGX[i, j] = 3 - grid.idXr[i, j] - grid.idXl[i, j]
-        grid.NGY[i, j] = 3 - grid.idYu[i, j] - grid.idYd[i, j]
-        grid.BGX[i, j] = math.cos(alpha)
-        grid.BGY[i, j] = math.sin(alpha)
-        if bound.Y is not None:
-            for c in range(4):
-                grid.Y[c, i, j] = bound.Y[c]
-        if bound.flow is not None:
-            grid.set_node_from_flow((i, j), bound.flow)
-        elif bound.flow2d is not None:
-            grid.set_node_from_flow2d((i, j), bound.flow2d)
-        if collect is not None:
-            collect.append((i, j))
+    import numpy as np
+    ii = np.asarray([p[0] for p in points], np.intp)
+    jj = np.asarray([p[1] for p in points], np.intp)
+    idx = (ii, jj)
+    grid.CT[idx] |= bound.ct | fl.CT_NODE_IS_SET_2D
+    grid.TCT[idx] = bound.tct
+    grid.NGX[idx] = 3 - grid.idXr[idx] - grid.idXl[idx]
+    grid.NGY[idx] = 3 - grid.idYu[idx] - grid.idYd[idx]
+    grid.BGX[idx] = math.cos(alpha)
+    grid.BGY[idx] = math.sin(alpha)
+    if bound.Y is not None:
+        for c in range(4):
+            grid.Y[c][idx] = bound.Y[c]
+    if bound.flow is not None:
+        grid.set_node_from_flow(idx, bound.flow)
+    elif bound.flow2d is not None:
+        grid.set_node_from_flow2d(idx, bound.flow2d)
+    if collect is not None:
+        collect.extend(points)
     return points
 
 

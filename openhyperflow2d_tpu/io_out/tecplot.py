@@ -33,8 +33,8 @@ def save_data_2d(path: str, grid_meta, state, params, global_time: float,
     S, U, V, Tg, p, mu_t, mu, y_plus arrays.
     """
     X, Y = params.MaxX, params.MaxY
-    ct = np.asarray(grid_meta.CT)
-    solid = (ct & np.uint64(fl.CT_SOLID_2D)) == np.uint64(fl.CT_SOLID_2D)
+    ct = np.asarray(grid_meta.CT).astype(np.int64)
+    solid = (ct & fl.CT_SOLID_2D) == fl.CT_SOLID_2D
     S = np.asarray(state.S)
     U = np.asarray(state.U)
     V = np.asarray(state.V)

@@ -105,7 +105,39 @@ class Solver:
         self.stats.iters = self.last_iter
         self.stats.steps_per_sec = self.case.Nstep / max(dt_wall, 1e-9)
         self.stats.unstable = bool(np.asarray(diags["unstable"]).any())
+        if self.params.sm == fl.SM_NS and len(self.case.wall_nodes):
+            self.recalc_y_plus()
         return diags, dt_wall
+
+    def recalc_y_plus(self):
+        """Per-cycle y+ update (ParallelRecalc_y_plus,
+        deeps2d_core.cpp:1649-1677 + 2260-2322): friction velocity at each
+        wall node from the current velocity gradients, broadcast to every
+        node keyed by its nearest-wall index."""
+        st = self.host_state()
+        wn = self.case.wall_nodes
+        iw = wn[:, 0]
+        jw = wn[:, 1]
+        tau_w = (np.abs(np.asarray(st.dUdy)[iw, jw])
+                 + np.abs(np.asarray(st.dVdx)[iw, jw]))             * np.asarray(st.mu)[iw, jw]
+        rho_w = np.asarray(st.S)[0][iw, jw]
+        u_w = np.sqrt(np.where(rho_w != 0,
+                               tau_w / np.where(rho_w != 0, rho_w, 1), 0.0)
+                      + 1e-30)
+        u_map = np.zeros((self.params.MaxX, self.params.MaxY))
+        u_map[iw, jw] = u_w
+        g = self.case.grid
+        active = (g.is_cond(fl.CT_NODE_IS_SET_2D)
+                  & ~g.is_cond(fl.CT_SOLID_2D))
+        mu = np.asarray(st.mu)
+        mu_s = np.where(mu != 0, mu, 1)
+        y_plus = np.abs(u_map[g.i_wall, g.j_wall]
+                        * np.asarray(self.meta.l_min)
+                        * np.asarray(st.S)[0] / mu_s)
+        new_yp = np.where(active, y_plus, np.asarray(st.y_plus))
+        self.state = SolverState(**{**self.state.__dict__,
+                                    "y_plus": jnp.asarray(
+                                        new_yp, self.params.jdtype)})
 
     # ------------------------------------------------------------------
     def monitor_condition(self, diags) -> bool:

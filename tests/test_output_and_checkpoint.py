@@ -1,0 +1,121 @@
+"""Output writers, post-processing, checkpoint/restore, CLI smoke tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from openhyperflow2d_tpu.examples import channel_deck, freestream_deck
+from openhyperflow2d_tpu.io_out.tecplot import read_tecplot_zone, save_data_2d
+from openhyperflow2d_tpu.postproc import outcfd
+from openhyperflow2d_tpu.solver.checkpoint import (load_checkpoint,
+                                                   save_checkpoint)
+from openhyperflow2d_tpu.solver.init import build_case
+from openhyperflow2d_tpu.solver.runner import Solver
+
+
+@pytest.fixture(scope="module")
+def channel_solver():
+    deck = channel_deck(nx=48, ny=32, mach2_v=-80.0)
+    case = build_case(deck)
+    s = Solver(case)
+    s.run_iters(20)
+    return case, s
+
+
+def test_tecplot_roundtrip(channel_solver, tmp_path):
+    case, s = channel_solver
+    st = s.host_state()
+    path = str(tmp_path / "out.plt")
+    save_data_2d(path, case.grid, st, case.params, s.global_time)
+    g = read_tecplot_zone(path, case.params.MaxX, case.params.MaxY)
+    # 6-significant-digit round trip
+    np.testing.assert_allclose(g["U"], np.asarray(st.U), rtol=2e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(g["p"], np.asarray(st.p), rtol=2e-5)
+
+
+def test_p_asterisk_and_mass_flow(channel_solver):
+    case, s = channel_solver
+    st = s.host_state()
+    ps = outcfd.p_asterisk(st)
+    # total pressure >= static pressure everywhere in the gas
+    gas = ~case.grid.is_cond(0x040000000)
+    assert (ps[gas] >= np.asarray(st.p)[gas] - 1e-9).all()
+    # mass flow at inlet column ~ rho*U*height
+    mp = outcfd.calc_mass_flow_rate_x(case.grid, st, 0.0, 0.0,
+                                      case.params.MaxY * case.params.dy)
+    rho = np.asarray(st.S)[0, 0, :]
+    u = np.asarray(st.U)[0, :]
+    expect = (rho * u * case.params.dy).sum()
+    assert mp == pytest.approx(expect, rel=1e-12)
+
+
+def test_average_pressure(channel_solver):
+    case, s = channel_solver
+    st = s.host_state()
+    pa = outcfd.calc_average_pressure(case.grid, st, 0.0,
+                                      case.params.MaxX * case.params.dx,
+                                      case.params.MaxY * case.params.dy)
+    p = np.asarray(st.p)
+    assert p.min() <= pa <= p.max()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    deck = freestream_deck(nx=16, ny=16)
+    case = build_case(deck)
+    s1 = Solver(case)
+    s1.run_iters(7)
+    s1.global_time = 1.25e-5
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, s1)
+
+    case2 = build_case(freestream_deck(nx=16, ny=16))
+    s2 = Solver(case2)
+    load_checkpoint(path, s2)
+    assert s2.last_iter == 7
+    assert s2.global_time == pytest.approx(1.25e-5)
+    np.testing.assert_array_equal(np.asarray(s2.state.S),
+                                  np.asarray(s1.state.S))
+    # resumed run proceeds identically to an uninterrupted one
+    s1.run_iters(5)
+    s2.run_iters(5)
+    np.testing.assert_allclose(np.asarray(s2.state.S),
+                               np.asarray(s1.state.S), rtol=1e-12)
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    deck = freestream_deck(nx=16, ny=16)
+    s1 = Solver(build_case(deck))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, s1)
+    s2 = Solver(build_case(freestream_deck(nx=24, ny=16)))
+    with pytest.raises(ValueError):
+        load_checkpoint(path, s2)
+
+
+def test_cli_end_to_end(tmp_path):
+    """Full CLI run on a small deck: output files + clean exit."""
+    from openhyperflow2d_tpu.cli import main
+    deck_text_path = tmp_path / "Channel.dat"
+    d = channel_deck(nx=32, ny=24, nmax=30)
+    # serialize the parsed deck back out in reference format
+    lines = ["<start/Channel>"]
+    for k, v in d.data.items():
+        lines.append(f"<data/{k}={v}>")
+    for name, t in d.tables.items():
+        lines.append(f"<table={name}/{t.n}>")
+        for x, y in zip(t.x, t.y):
+            lines.append(f"{x} {y}")
+        lines.append("<endtable>")
+    lines.append("<end/Channel>")
+    deck_text_path.write_text("\n".join(lines))
+
+    rc = main([str(deck_text_path), "--max-cycles", "2",
+               "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "Channel.plt").exists()
+    assert (tmp_path / "RMS-Channel").exists()
+    assert (tmp_path / "Channel.ckpt.npz").exists()
+    g = read_tecplot_zone(str(tmp_path / "Channel.plt"), 32, 24)
+    assert np.isfinite(g["p"]).all()
