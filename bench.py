@@ -20,6 +20,11 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
 
     import jax
+    # persistent compile cache: the solver graph takes minutes to compile
+    # through the remote-compile service; cache across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from openhyperflow2d_tpu.examples import reacting_rans_deck
     from openhyperflow2d_tpu.solver.init import build_case
     from openhyperflow2d_tpu.solver.runner import Solver

@@ -66,9 +66,23 @@ def set_min_distance_to_wall(grid: HostGrid, wall_nodes: np.ndarray,
 
     active = (grid.is_cond(fl.CT_NODE_IS_SET_2D)
               & ~grid.is_cond(fl.CT_SOLID_2D))
-    grid.l_min[active] = max(x0 + dx * X, dy * Y)
+    l_init = max(x0 + dx * X, dy * Y)
+    grid.l_min[active] = l_init
     if wall_nodes is None or len(wall_nodes) == 0:
         return
+
+    # large grids: use the native bucket-grid search (identical semantics,
+    # verified bit-exact incl. tie-breaking; see native/hf2d_native.cpp)
+    if X * Y * len(wall_nodes) > 2_000_000:
+        from . import native
+        if native.available():
+            lm, iw, jw = native.min_wall_distance(
+                np.asarray(wall_nodes, np.int32), active, dx, dy, x0,
+                l_init)
+            grid.l_min[active] = lm[active]
+            grid.i_wall[active] = iw[active]
+            grid.j_wall[active] = jw[active]
+            return
 
     wx = wall_nodes[:, 0].astype(np.float64) * dx       # (W,)
     wy = wall_nodes[:, 1].astype(np.float64) * dy

@@ -119,3 +119,40 @@ def test_cli_end_to_end(tmp_path):
     assert (tmp_path / "Channel.ckpt.npz").exists()
     g = read_tecplot_zone(str(tmp_path / "Channel.plt"), 32, 24)
     assert np.isfinite(g["p"]).all()
+
+
+def test_native_wall_distance_matches_numpy():
+    """Native bucket-grid nearest-wall transform is bit-exact vs the
+    reference-semantics numpy implementation (incl. tie-breaking)."""
+    from openhyperflow2d_tpu.core import flags as fl
+    from openhyperflow2d_tpu.geometry import native
+    from openhyperflow2d_tpu.geometry.grid import HostGrid
+    from openhyperflow2d_tpu.geometry.wall import set_min_distance_to_wall
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(42)
+    X, Y, dx, dy = 80, 64, 0.013, 0.011
+    g = HostGrid(X, Y, dx, dy)
+    g.CT[:] = fl.CT_NODE_IS_SET_2D
+    solid = np.zeros((X, Y), bool)
+    solid[20:35, 10:25] = True
+    solid[60:70, 40:55] = True
+    g.CT[solid] |= fl.CT_SOLID_2D
+    wn = []
+    for j in range(Y):
+        for i in range(X):
+            if not solid[i, j] and (
+                    (i > 0 and solid[i - 1, j]) or
+                    (i < X - 1 and solid[i + 1, j]) or
+                    (j > 0 and solid[i, j - 1]) or
+                    (j < Y - 1 and solid[i, j + 1])):
+                wn.append((i, j))
+    wn = np.array(wn, np.int32)
+    set_min_distance_to_wall(g, wn)   # numpy path (small grid)
+    active = (g.is_cond(fl.CT_NODE_IS_SET_2D)
+              & ~g.is_cond(fl.CT_SOLID_2D))
+    lm, iw, jw = native.min_wall_distance(
+        wn, active, dx, dy, 0.0, max(dx * X, dy * Y))
+    np.testing.assert_array_equal(lm[active], g.l_min[active])
+    np.testing.assert_array_equal(iw[active], g.i_wall[active])
+    np.testing.assert_array_equal(jw[active], g.j_wall[active])
