@@ -51,7 +51,7 @@ def _planes(arr, n):
 
 
 def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
-              is_mu_t, is_init: bool) -> SolverState:
+              is_mu_t, is_init: bool, j0=0) -> SolverState:
     """FillNode2D over the whole grid.
 
     ``is_mu_t`` is a per-node bool mask (the run loop passes 1 for NT_FC
@@ -95,7 +95,7 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
         # Turbulence models (TurbModRANS2D) see the Dirichlet-enforced U,V.
         mu_t, lam_t = _turb_mod_rans(
             state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
-            is_mu_t, is_init)
+            is_mu_t, is_init, j0)
 
     # --- formation enthalpy sum (hpp:438-445) -----------------------------
     Hu = [jnp.asarray(h, dt) for h in p.Hu]
@@ -141,7 +141,7 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     Tg_new = _safe_div(p_new, state.R * rho_s)
 
     # --- effective transport & viscous/convective fluxes -------------------
-    jj = jnp.arange(p.MaxY, dtype=dt)[None, :]
+    jj = j0 + jnp.arange(state.S.shape[-1], dtype=dt)[None, :]
     y_r = (jj + 0.5) * p.dy                  # node radius (x,y init: 3877)
 
     if p.sm == fl.SM_NS:
@@ -240,7 +240,7 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
 
 
 def _turb_mod_rans(state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
-                   is_mu_t, is_init):
+                   is_mu_t, is_init, j0=0):
     """TurbModRANS2D (hyper_flow_node.hpp:601-957) over the grid.
 
     Mutates the plane lists (s, a_l, b_l, f_l, src) in place for the
@@ -286,7 +286,7 @@ def _turb_mod_rans(state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
     tmp2 = rho * l_base
     tmp3 = state.dUdx ** 2 + state.dVdy ** 2
     if p.ft == fl.FT_AXISYMMETRIC:
-        jj = jnp.arange(p.MaxY, dtype=dt)[None, :]
+        jj = j0 + jnp.arange(s[0].shape[-1], dtype=dt)[None, :]
         y_r = (jj + 0.5) * p.dy
         tmp3 = tmp3 + U / y_r
     mu_t_ke = jnp.where(mu_t == 0, rho * l_base * l_base * grad_mag, mu_t)

@@ -132,10 +132,12 @@ jax.tree_util.register_dataclass(
 
 
 def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
-           aux: StepAux):
+           aux: StepAux, j0=0, return_fields: bool = False):
     """Pass 1 (stencil/flux update) + pass 2 (DD/beta/RMS/commit).
 
-    Returns (S_committed, beta_out, dSdx_new, dSdy_new, diag).
+    Returns (S_committed, beta_out, dSdx_new, dSdy_new, diag).  With
+    ``return_fields`` the diag contains the unreduced per-node quantities
+    (for tiled kernels that must reduce over tile interiors only).
     """
     p = params
     dt_ = state.dt
@@ -188,7 +190,8 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     beta = state.beta
     blend = (dxx * (S_L + S_R) + dyy * (S_U + S_D)) * 0.5
     if p.ft == fl.FT_AXISYMMETRIC:
-        jp1 = (jnp.arange(p.MaxY, dtype=dtype) + 1.0)[None, None, :]
+        jp1 = (j0 + jnp.arange(state.S.shape[-1], dtype=dtype)
+               + 1.0)[None, None, :]
         y_term = dYY + state.F / jp1
     else:
         y_term = dYY
@@ -232,6 +235,12 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     dd_gate = active[None] & eact & ~ddc & (tmp != 0.0)
     beta_out = jnp.where(dd_gate, new_beta, beta)
 
+    if return_fields:
+        S_committed = jnp.where(evolve, next_s, S_eff)
+        fields = {"abs_dd": abs_dd, "tmp": tmp, "dd_local": dd_local,
+                  "gate": dd_gate, "dt_used": dt_}
+        return S_committed, beta_out, dSdx_new, dSdy_new, fields
+
     if p.isAlternateRMS:
         rms = jnp.sum(jnp.where(dd_gate, abs_dd * abs_dd, 0.0),
                       axis=(-2, -1))
@@ -252,7 +261,7 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
 
 
 def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
-        chem: ChemTables, aux: StepAux):
+        chem: ChemTables, aux: StepAux, j0=0, return_fields: bool = False):
     """Gradients + FillNode2D + local dt + chemistry + wall heat flux
     (the tail of pass 2, deeps2d_core.cpp:1169-1334 + 1402-1409).
 
@@ -365,9 +374,10 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
     # active nodes: is_mu_t iff iter+last_iter >= TurbStartIter;
     # NT_FC nodes: always refreshed with is_mu_t=1.
     is_mu_t = jnp.where(fc, True, aux.is_mu_t_iter)
-    filled = fill_node(mid, meta, p, is_mu_t, is_init=False)
+    filled = fill_node(mid, meta, p, is_mu_t, is_init=False, j0=j0)
 
-    unstable = jnp.any(active & (filled.Tg < 0.0))
+    unstable_field = active & (filled.Tg < 0.0)
+    unstable = unstable_field if return_fields else jnp.any(unstable_field)
 
     # ---------------- local dt (1317-1327) ---------------------------------
     cfl_min = jnp.minimum(jnp.asarray(p.CFL, dtype), aux.cfl_scen)

@@ -42,7 +42,13 @@ class RunStats:
 class Solver:
     """Single-driver solver over one (possibly sharded) device state."""
 
-    def __init__(self, case: Case, shardings=None):
+    def __init__(self, case: Case, shardings=None, use_pallas: bool = False,
+                 pallas_tile=(64, 64)):
+        self.use_pallas = use_pallas
+        self.pallas_tile = pallas_tile
+        self._init_common(case, shardings)
+
+    def _init_common(self, case: Case, shardings=None):
         self.case = case
         p = case.params
         self.params = p
@@ -78,6 +84,13 @@ class Solver:
         self._chunk_fn = jax.jit(self._make_chunk_fn(), static_argnums=(1,))
 
     def _make_chunk_fn(self):
+        if getattr(self, "use_pallas", False):
+            from ..ops.pallas_step import make_pallas_chunk
+            return make_pallas_chunk(
+                self.meta, self.params, self.chem,
+                (self.beta_xs, self.beta_ys), (self.cfl_xs, self.cfl_ys),
+                self.params.TurbStartIter, self._src_ext,
+                tile=self.pallas_tile)
         return make_fast_chunk(
             self.meta, self.params, self.chem,
             (self.beta_xs, self.beta_ys), (self.cfl_xs, self.cfl_ys),

@@ -1,0 +1,73 @@
+"""Fused Pallas kernel vs the XLA path (interpret mode on CPU).
+
+The kernel evaluates the SAME stage functions on VMEM tiles, so results
+must agree exactly wherever the inputs agree.  The one designed difference
+is the dt pairing (pallas computes the global dt reduction from the carried
+primitives — one extra iteration of lag; see ops/pallas_step.py), so:
+
+* on a uniform stream (stationary dt inputs) the paths agree bitwise;
+* on evolving flows they diverge only at the dt-relative-difference level.
+"""
+
+import numpy as np
+import pytest
+
+from openhyperflow2d_tpu.examples import (channel_deck, freestream_deck,
+                                          reacting_rans_deck)
+from openhyperflow2d_tpu.solver.init import build_case
+from openhyperflow2d_tpu.solver.runner import Solver
+
+
+@pytest.mark.parametrize("problem_type", [0, 1])
+def test_pallas_exact_on_freestream(problem_type):
+    ref = Solver(build_case(freestream_deck(problem_type=problem_type,
+                                            nx=48, ny=32)))
+    pal = Solver(build_case(freestream_deck(problem_type=problem_type,
+                                            nx=48, ny=32)),
+                 use_pallas=True, pallas_tile=(16, 16))
+    ref.run_iters(4)
+    d = pal.run_iters(4)
+    assert not np.asarray(d["unstable"]).any()
+    for f in ["S", "beta", "U", "V", "p", "Tg", "mu_t", "R", "CP"]:
+        a = np.asarray(getattr(ref.state, f))
+        b = np.asarray(getattr(pal.state, f))
+        np.testing.assert_allclose(b, a, atol=1e-20)
+
+
+def test_pallas_close_on_evolving_flow():
+    deck = channel_deck(nx=48, ny=40, mach2_v=-80.0)
+    ref = Solver(build_case(deck))
+    pal = Solver(build_case(channel_deck(nx=48, ny=40, mach2_v=-80.0)),
+                 use_pallas=True, pallas_tile=(16, 16))
+    d1 = ref.run_iters(5)
+    d2 = pal.run_iters(5)
+    # iteration 0 shares the initial dt exactly
+    assert np.asarray(d1["dt_used"])[0] == np.asarray(d2["dt_used"])[0]
+    for f in ["S", "U", "V", "p", "Tg"]:
+        a = np.asarray(getattr(ref.state, f))
+        b = np.asarray(getattr(pal.state, f))
+        rel = np.abs(a - b) / (np.abs(a).max() + 1e-30)
+        assert rel.max() < 5e-3, (f, rel.max())
+
+
+def test_pallas_reacting_rans_runs():
+    pal = Solver(build_case(reacting_rans_deck(48, 40)),
+                 use_pallas=True, pallas_tile=(16, 16))
+    d = pal.run_iters(5)
+    assert not np.asarray(d["unstable"]).any()
+    assert np.isfinite(np.asarray(d["RMS"])).all()
+    assert np.abs(np.asarray(pal.state.mu_t)).max() > 0
+
+
+def test_pallas_non_multiple_grid():
+    """Grid sizes that don't divide the tile exercise the padding path."""
+    pal = Solver(build_case(channel_deck(nx=50, ny=37)),
+                 use_pallas=True, pallas_tile=(16, 16))
+    ref = Solver(build_case(channel_deck(nx=50, ny=37)))
+    d = pal.run_iters(3)
+    ref.run_iters(3)
+    assert not np.asarray(d["unstable"]).any()
+    a = np.asarray(ref.state.p)
+    b = np.asarray(pal.state.p)
+    rel = np.abs(a - b) / np.abs(a).max()
+    assert rel.max() < 5e-3
