@@ -147,7 +147,8 @@ class ChemTables:
         """Build from {species: R} and {(prop, species): Table}."""
         kw = {}
         for sp in ("Fuel", "OX", "cp", "air"):
-            kw[f"R_{sp}"] = jnp.asarray(R[sp], dtype)
+            # shape (1,): Pallas TPU blocks must be rank >= 1
+            kw[f"R_{sp}"] = jnp.asarray([R[sp]], dtype)
             for prop in ("Cp", "lam", "mu"):
                 t: Table = tables[(prop, sp)]
                 kw[f"{prop}_{sp}_x"] = jnp.asarray(t.x, dtype)
