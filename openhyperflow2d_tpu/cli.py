@@ -110,6 +110,24 @@ def main(argv=None):
         rms_hist = np.asarray(diags["RMS"])
         save_rms_rows(rms_path, solver.last_iter - rms_hist.shape[0],
                       rms_hist, every=case.NOutStep)
+        if case.is_Cx_calc:
+            from .postproc.outcfd import calc_cx, calc_cy
+            cp = case.Cx_params
+            fl2 = case.flow2d_list[cp["Cx_Flow_index"] - 1]
+            cx = calc_cx(case.grid, st, cp["x0_body"], cp["y0_body"],
+                         cp["dx_body"], cp["dy_body"], fl2)
+            cy = calc_cy(case.grid, st, cp["x0_body"], cp["y0_body"],
+                         cp["dx_body"], cp["dy_body"], fl2)
+            print(f"Cx={cx:.6g} Cy={cy:.6g}")
+        if case.is_Cd_calc:
+            from .postproc.outcfd import calc_cd, calc_cv
+            cp = case.Cx_params
+            fl2 = case.flow2d_list[cp["Cd_Flow_index"] - 1]
+            cd = calc_cd(case.grid, st, cp["x0_nozzle"], cp["y0_nozzle"],
+                         cp["dy_nozzle"], fl2)
+            cv = calc_cv(case.grid, st, cp["x0_nozzle"], cp["y0_nozzle"],
+                         cp["dy_nozzle"], cp["p_ambient"], fl2)
+            print(f"Cd={cd:.6g} Cv={cv:.6g}")
         if case.monitor_points:
             probes = [solver.probe(mp.x, mp.y) for mp in case.monitor_points]
             save_monitors_row(mon_path, solver.global_time, probes)

@@ -107,6 +107,7 @@ class Case:
     project_name: str = ""
     is_p_asterisk_out: bool = False
     is_Cx_calc: bool = False
+    is_Cd_calc: bool = False
     Cx_params: dict = field(default_factory=dict)
     isVerboseOutput: bool = True
     AddSrcStartIter: int = 0
@@ -407,6 +408,21 @@ def build_case(deck: Deck, dtype: str = "float64",
     grid.Tg[solid] = Ts0
     grid.Tg[(grid.p == 0.0)] = Ts0
 
+    # ---- Cx/Cy + Cd/Cv probe windows (3968-3998) ----------------------------
+    cx_params = {}
+    if deck.get_int("is_Cx_calc", 0, required=False):
+        cx_params["x0_body"] = deck.get_float("x_body")
+        cx_params["y0_body"] = deck.get_float("y_body")
+        cx_params["dx_body"] = deck.get_float("dx_body")
+        cx_params["dy_body"] = deck.get_float("dy_body")
+        cx_params["Cx_Flow_index"] = deck.get_int("Cx_Flow_Index")
+    if deck.get_int("is_Cd_calc", 0, required=False):
+        cx_params["x0_nozzle"] = deck.get_float("x_nozzle")
+        cx_params["y0_nozzle"] = deck.get_float("y_nozzle")
+        cx_params["dy_nozzle"] = deck.get_float("dy_nozzle")
+        cx_params["Cd_Flow_index"] = deck.get_int("Cd_Flow_Index")
+        cx_params["p_ambient"] = deck.get_float("p_ambient")
+
     # ---- wall scan / decomposition bookkeeping (4625-4650) ------------------
     if sm == fl.SM_NS:
         set_wall_nodes(grid)
@@ -472,6 +488,8 @@ def build_case(deck: Deck, dtype: str = "float64",
         is_p_asterisk_out=bool(deck.get_int("is_p_asterisk_out", 0,
                                             required=False)),
         is_Cx_calc=bool(deck.get_int("is_Cx_calc", 0, required=False)),
+        is_Cd_calc=bool(deck.get_int("is_Cd_calc", 0, required=False)),
+        Cx_params=cx_params,
         isVerboseOutput=bool(deck.get_int("isVerboseOutput", 1,
                                           required=False)),
         AddSrcStartIter=deck.get_int("AddSrcStartIter", 0, required=False),
