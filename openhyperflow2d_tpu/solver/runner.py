@@ -209,3 +209,12 @@ def run_case(case: Case, max_cycles: int = None, verbose: bool = True,
         if max_cycles is not None and cycles >= max_cycles:
             break
     return solver
+
+
+def profile_solver(solver, n_iters: int = 50, trace_dir: str = "/tmp/hf2d_trace"):
+    """Capture a jax.profiler trace of the inner loop (the reference's
+    wall-clock step/sec prints, upgraded to a full op-level timeline)."""
+    solver.run_iters(2)   # ensure compiled
+    with jax.profiler.trace(trace_dir):
+        solver.run_iters(n_iters)
+    return trace_dir
