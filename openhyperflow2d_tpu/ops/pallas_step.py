@@ -196,9 +196,13 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         else:
             num = jnp.sum(jnp.where(gate, dd_l * dd_l, 0.0), (-2, -1))
             den = jnp.sum(gate, (-2, -1)).astype(dtype)
-        pr_num[0, 0, :] = num
-        pr_den[0, 0, :] = den
-        pr_max[0, 0, :] = jnp.max(jnp.where(gate, dd_l, 0.0), (-2, -1))
+        ddm = jnp.max(jnp.where(gate, dd_l, 0.0), (-2, -1))
+        # partials live in SMEM (scalar stores: small blocks are not
+        # expressible under the VMEM tiling constraints)
+        for k in range(9):
+            pr_num[0, 0, k] = num[k]
+            pr_den[0, 0, k] = den[k]
+            pr_max[0, 0, k] = ddm[k]
         solid, is_set, fc, active = node_masks(meta_blk)
         uns = active[H:H + TX, H:H + TY] \
             & (out_state.Tg[H:H + TX, H:H + TY] < 0.0)
@@ -217,13 +221,13 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                    for _ in CHEM_FIELDS])
     out_specs = ([any_spec() for _ in SLIM_BIG]
                  + [pl.BlockSpec((1, 1, 9), lambda i, j: (i, j, 0),
-                                 memory_space=pltpu.VMEM),
+                                 memory_space=pltpu.SMEM),
                     pl.BlockSpec((1, 1, 9), lambda i, j: (i, j, 0),
-                                 memory_space=pltpu.VMEM),
+                                 memory_space=pltpu.SMEM),
                     pl.BlockSpec((1, 1, 9), lambda i, j: (i, j, 0),
-                                 memory_space=pltpu.VMEM),
+                                 memory_space=pltpu.SMEM),
                     pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                                 memory_space=pltpu.VMEM)])
+                                 memory_space=pltpu.SMEM)])
 
     def win_shape(f, kind):
         if kind == "slim":
