@@ -227,3 +227,117 @@ def reacting_rans_deck(nx: int, ny: int, turb_model: int = 4,
     d.data["Flow2D-2.T"] = "1400."
     d.data["Flow2D-1.CompIndex"] = "1"   # oxidizer
     return d
+
+
+def cylinders_deck(nx: int = 192, ny: int = 96, mach: float = 3.0,
+                   turb_model: int = 0, problem_type: int = 0) -> Deck:
+    """Hypersonic flow around three staggered cylinders (BASELINE.json
+    config 2).  Cylinder bounds are NT_WNS solids filled via BoundCircle."""
+    d = channel_deck(nx=nx, ny=ny, u=mach * 347.0, v=0.0,
+                     problem_type=problem_type, turb_model=turb_model,
+                     cfl=0.08, beta=0.97, bff=5)
+    dx = 0.01
+    lx, ly = nx * dx, ny * dx
+    r = ly * 0.08
+    centers = [(lx * 0.25, ly * 0.5), (lx * 0.45, ly * 0.3),
+               (lx * 0.45, ly * 0.7)]
+    d.data["NumCircles"] = "3"
+    for i, (cx, cy) in enumerate(centers, 1):
+        d.data[f"Circle{i}.Xstart"] = str(cx - r)
+        d.data[f"Circle{i}.Ystart"] = str(cy)
+        d.data[f"Circle{i}.X0"] = str(cx)
+        d.data[f"Circle{i}.Y0"] = str(cy)
+        d.data[f"Circle{i}.MaterialID"] = "1"
+        d.data[f"Circle{i}.Flow2D"] = "1"
+        d.data[f"Circle{i}.TurbulenceModel"] = str(turb_model)
+    # all four outer bounds: inflow left, D0X right, D0Y top/bottom
+    d.data["Contour1.Bound1.Cond"] = "NT_D0Y_2D, CT_V_CONST_2D"
+    d.data["Contour1.Bound1.Flow2D"] = "1"
+    return d
+
+
+def airfoil_deck(nx: int = 256, ny: int = 128, mach: float = 0.8,
+                 attack_deg: float = 2.0, problem_type: int = 1,
+                 turb_model: int = 4) -> Deck:
+    """Transonic flow around a NACA-style airfoil (BASELINE.json config 3:
+    URANS airfoil)."""
+    d = channel_deck(nx=nx, ny=ny, u=mach * 340.0, v=0.0,
+                     problem_type=problem_type, turb_model=turb_model,
+                     turb_ext_model=4 if turb_model == 4 else 0,
+                     cfl=0.08, beta=0.97, bff=5)
+    dx = 0.01
+    lx, ly = nx * dx, ny * dx
+    d.data["NumAirfoils"] = "1"
+    d.data["Airfoil1.Xstart"] = str(lx * 0.3)
+    d.data["Airfoil1.Ystart"] = str(ly * 0.5)
+    d.data["Airfoil1.Type"] = "0"
+    d.data["Airfoil1.pp"] = "0.4"
+    d.data["Airfoil1.mm"] = "0.02"
+    d.data["Airfoil1.thick"] = "0.12"
+    d.data["Airfoil1.scale"] = str(lx * 0.3)
+    # reference passes the deck angle straight into sin/cos => radians
+    d.data["Airfoil1.attack_angle"] = str(attack_deg * 3.14159265 / 180.0)
+    d.data["Airfoil1.Flow2D"] = "1"
+    d.data["Airfoil1.TurbulenceModel"] = str(turb_model)
+    d.data["Contour1.Bound1.Cond"] = "NT_D0Y_2D, CT_V_CONST_2D"
+    d.data["Contour1.Bound1.Flow2D"] = "1"
+    d.data["is_Cx_calc"] = "1"
+    d.data["x_body"] = str(lx * 0.3)
+    d.data["y_body"] = str(ly * 0.4)
+    d.data["dx_body"] = str(lx * 0.35)
+    d.data["dy_body"] = str(ly * 0.2)
+    d.data["Cx_Flow_Index"] = "1"
+    return d
+
+
+def bubble_deck(nx: int = 200, ny: int = 100) -> Deck:
+    """Shock / light-gas bubble interaction (BASELINE.json config 4):
+    multicomponent non-reacting, the bubble is a fuel-component gas circle
+    re-filled inside the air stream."""
+    d = channel_deck(nx=nx, ny=ny, u=600.0, v=0.0, problem_type=0,
+                     cfl=0.1, beta=0.97, bff=5)
+    dx = 0.01
+    lx, ly = nx * dx, ny * dx
+    # a gas (MaterialID=0) circle of pure fuel at rest
+    d.data["NumCircles"] = "1"
+    d.data["Circle1.Xstart"] = str(lx * 0.4 - ly * 0.15)
+    d.data["Circle1.Ystart"] = str(ly * 0.5)
+    d.data["Circle1.X0"] = str(lx * 0.4)
+    d.data["Circle1.Y0"] = str(ly * 0.5)
+    d.data["Circle1.MaterialID"] = "0"
+    d.data["Circle1.Flow2D"] = "3"
+    d.data["Circle1.TurbulenceModel"] = "0"
+    d.data["NumFlow2D"] = "3"
+    d.data["Flow2D-3.CompIndex"] = "0"     # fuel (light gas)
+    d.data["Flow2D-3.Mode"] = "0"
+    d.data["Flow2D-3.p"] = "100000.0"
+    d.data["Flow2D-3.T"] = "300.0"
+    d.data["Flow2D-3.U"] = "0.01"
+    d.data["Flow2D-3.V"] = "0.0"
+    # no combustion: Tf above any temperature reached
+    d.data["Tf"] = "100000."
+    return d
+
+
+def scramjet_deck(nx: int = 384, ny: int = 128) -> Deck:
+    """Axisymmetric reacting SCRAMJET-like duct (BASELINE.json config 5):
+    axisymmetric, k-eps RANS, hot oxidizer stream + wall fuel source with
+    Zeldovich combustion."""
+    d = channel_deck(nx=nx, ny=ny, u=1200.0, v=0.0, problem_type=1,
+                     turb_model=4, turb_ext_model=4, flow_type=1,
+                     cfl=0.1, beta=0.95)
+    d.data["Flow2D-1.CompIndex"] = "1"   # oxidizer stream
+    d.data["Flow2D-1.T"] = "900."
+    d.data["Flow2D-2.CompIndex"] = "1"
+    d.data["Tf"] = "1000."
+    # wall fuel injector: line source along the duct wall
+    d.data["NumSrc"] = "1"
+    d.data["Src1.GasSrcSX"] = str(nx // 4)
+    d.data["Src1.GasSrcSY"] = "2"
+    d.data["Src1.GasSrcEX"] = str(nx // 4 + nx // 16)
+    d.data["Src1.GasSrcEY"] = "2"
+    d.data["Src1.GasSrcIndex"] = "0"     # fuel
+    d.data["Src1.Msrc"] = "0.05"
+    d.data["Src1.Tsrc"] = "1200."
+    d.data["Src1.Tf_src"] = "900."
+    return d

@@ -197,16 +197,16 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
             num = jnp.sum(jnp.where(gate, dd_l * dd_l, 0.0), (-2, -1))
             den = jnp.sum(gate, (-2, -1)).astype(dtype)
         ddm = jnp.max(jnp.where(gate, dd_l, 0.0), (-2, -1))
-        # partials live in SMEM (scalar stores: small blocks are not
-        # expressible under the VMEM tiling constraints)
-        for k in range(9):
-            pr_num[0, 0, k] = num[k]
-            pr_den[0, 0, k] = den[k]
-            pr_max[0, 0, k] = ddm[k]
+        # partial buffers are whole-(nbx,nby,9) blocks mapped to the same
+        # offset for every program (the TPU grid is sequential, so each
+        # tile writes its own row without races)
+        pr_num[ti, tj, :] = num
+        pr_den[ti, tj, :] = den
+        pr_max[ti, tj, :] = ddm
         solid, is_set, fc, active = node_masks(meta_blk)
         uns = active[H:H + TX, H:H + TY] \
             & (out_state.Tg[H:H + TX, H:H + TY] < 0.0)
-        pr_uns[0, 0] = jnp.any(uns).astype(jnp.int32)
+        pr_uns[ti, tj] = jnp.any(uns).astype(jnp.int32)
 
         for c in wcopies:
             c.wait()
@@ -220,14 +220,14 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)
                    for _ in CHEM_FIELDS])
     out_specs = ([any_spec() for _ in SLIM_BIG]
-                 + [pl.BlockSpec((1, 1, 9), lambda i, j: (i, j, 0),
-                                 memory_space=pltpu.SMEM),
-                    pl.BlockSpec((1, 1, 9), lambda i, j: (i, j, 0),
-                                 memory_space=pltpu.SMEM),
-                    pl.BlockSpec((1, 1, 9), lambda i, j: (i, j, 0),
-                                 memory_space=pltpu.SMEM),
-                    pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                                 memory_space=pltpu.SMEM)])
+                 + [pl.BlockSpec((nbx, nby, 9), lambda i, j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nbx, nby, 9), lambda i, j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nbx, nby, 9), lambda i, j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nbx, nby), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)])
 
     def win_shape(f, kind):
         if kind == "slim":
