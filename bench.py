@@ -18,6 +18,8 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "2048"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    tile = int(os.environ.get("BENCH_TILE", "128"))
 
     import jax
     # persistent compile cache: the solver graph takes minutes to compile
@@ -32,10 +34,10 @@ def main():
     n_chips = len(jax.devices())
     deck = reacting_rans_deck(size, size)
     case = build_case(deck, dtype=dtype)
-    solver = Solver(case)
+    solver = Solver(case, use_pallas=use_pallas, pallas_tile=(tile, tile))
 
-    # warmup (compile + first steps)
-    solver.run_iters(3)
+    # warmup: same static n_iters as the timed call so the compile is reused
+    solver.run_iters(iters)
 
     t0 = time.time()
     solver.run_iters(iters)
@@ -44,9 +46,10 @@ def main():
     steps_per_sec = iters / dt_wall
     gcups = size * size * steps_per_sec / 1e9 / max(n_chips, 1)
 
+    path = "pallas" if use_pallas else "xla"
     result = {
         "metric": f"GCUPS/chip ({size}x{size} reacting RANS, {dtype}, "
-                  f"{n_chips} chip)",
+                  f"{path}, {n_chips} chip)",
         "value": round(gcups, 4),
         "unit": "Gcell-updates/s/chip",
         "vs_baseline": round(gcups / 2.0, 4),   # target: 2 GCUPS/chip
