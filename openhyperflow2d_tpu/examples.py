@@ -294,8 +294,8 @@ def bubble_deck(nx: int = 200, ny: int = 100) -> Deck:
     """Shock / light-gas bubble interaction (BASELINE.json config 4):
     multicomponent non-reacting, the bubble is a fuel-component gas circle
     re-filled inside the air stream."""
-    d = channel_deck(nx=nx, ny=ny, u=600.0, v=0.0, problem_type=0,
-                     cfl=0.1, beta=0.97, bff=5)
+    d = channel_deck(nx=nx, ny=ny, u=200.0, v=0.0, problem_type=0,
+                     cfl=0.05, beta=0.96, bff=5)
     dx = 0.01
     lx, ly = nx * dx, ny * dx
     # a gas (MaterialID=0) circle of pure fuel at rest
@@ -330,12 +330,14 @@ def scramjet_deck(nx: int = 384, ny: int = 128) -> Deck:
     d.data["Flow2D-1.T"] = "900."
     d.data["Flow2D-2.CompIndex"] = "1"
     d.data["Tf"] = "1000."
-    # wall fuel injector: line source along the duct wall
+    # radial fuel injector: vertical line source (a horizontal axisym line
+    # source divides by zero in the reference area formula,
+    # hyper_flow_source.cpp:82-84)
     d.data["NumSrc"] = "1"
     d.data["Src1.GasSrcSX"] = str(nx // 4)
     d.data["Src1.GasSrcSY"] = "2"
-    d.data["Src1.GasSrcEX"] = str(nx // 4 + nx // 16)
-    d.data["Src1.GasSrcEY"] = "2"
+    d.data["Src1.GasSrcEX"] = str(nx // 4)
+    d.data["Src1.GasSrcEY"] = "6"
     d.data["Src1.GasSrcIndex"] = "0"     # fuel
     d.data["Src1.Msrc"] = "0.05"
     d.data["Src1.Tsrc"] = "1200."

@@ -162,14 +162,20 @@ def solid_airfoil_naca(grid: HostGrid, x: float, y: float, mm: float,
     xx1 = x + scale * ax
     yy1 = y + scale * aym
     if attack_angle != 0.0:
-        dcx, dcy = x - xx1, y - yy1
-        r = math.sqrt(dcx * dcx + dcy * dcy + 1.e-30)
-        fi = math.atan2(dcx, dcy)
-        xx1 = x + r * math.sin(fi + attack_angle)
-        yy1 = y + r * math.cos(fi + attack_angle)
+        # NOTE: the reference rotates the fill seed with dcx = x - xx1
+        # (hyper_flow_airfoil.cpp:260-265), i.e. the vector from mid-chord
+        # TO the anchor — landing the seed at the mirror image of the
+        # mid-chord for any nonzero angle, so its rotated-airfoil fill is
+        # unconditionally broken (solid/gas inversion or abort).  Here the
+        # mid-chord point is rotated with the same transform as the contour.
+        xx1, yy1 = _rotate_point(xx1 / dx, yy1 / dy, x / dx, y / dy,
+                                 attack_angle)
+        xx1 *= dx
+        yy1 *= dy
         _rotate_contour(bc, x / dx, y / dy, attack_angle)
     bc.set_bounds()
-    fill_area(grid, _nx(xx1, dx), _nx(yy1, dy), fl.NT_S_2D)
+    fill_area(grid, *_interior_seed(grid, _nx(xx1, dx), _nx(yy1, dy)),
+              fl.NT_S_2D)
 
 
 def solid_airfoil_tsagi(grid: HostGrid, x: float, y: float, upper, lower,
@@ -192,14 +198,61 @@ def solid_airfoil_tsagi(grid: HostGrid, x: float, y: float, upper, lower,
     xx1 = x + scale * upper.x[upper.n // 2]
     yy1 = y + scale * (upper.y[upper.n // 2] + lower.y[lower.n // 2]) / 2.0
     if attack_angle != 0.0:
-        dcx, dcy = x - xx1, y - yy1
-        r = math.sqrt(dcx * dcx + dcy * dcy + 1.e-30)
-        fi = math.atan2(dcx, dcy)
-        xx1 = x + r * math.sin(fi + attack_angle)
-        yy1 = y + r * math.cos(fi + attack_angle)
+        xx1, yy1 = _rotate_point(xx1 / dx, yy1 / dy, x / dx, y / dy,
+                                 attack_angle)
+        xx1 *= dx
+        yy1 *= dy
         _rotate_contour(bc, x / dx, y / dy, attack_angle)
     bc.set_bounds()
-    fill_area(grid, _nx(xx1, dx), _nx(yy1, dy), fl.NT_S_2D)
+    fill_area(grid, *_interior_seed(grid, _nx(xx1, dx), _nx(yy1, dy)),
+              fl.NT_S_2D)
+
+
+def _rotate_point(px, py, x0n, y0n, angle):
+    """The RotateBound2D point transform (hyper_flow_bound.cpp:582-595) in
+    node space."""
+    dxs = px - x0n
+    dys = py - y0n
+    fi = math.atan2(dxs, dys)
+    r = math.sqrt(dxs * dxs + dys * dys + 1.e-30)
+    return (x0n + r * math.sin(fi + angle), y0n + r * math.cos(fi + angle))
+
+
+def _interior_seed(grid: HostGrid, sx: int, sy: int):
+    """Robust interior seed for thin rotated profiles.
+
+    The reference seeds the fill at the rotated mid-chord point; for thin
+    airfoils under rotation the integer-rounded seed can fall outside the
+    contour, which floods the whole domain (the reference either aborts on
+    an already-set seed or silently solidifies the gas region — its
+    attack-angle path is additionally broken by the Start=x/dx rescaling in
+    RotateBound2D, hyper_flow_bound.cpp:599-608).  Here: if the nominal
+    seed's connected component is more than a quarter of the domain, pick
+    the nearest unset cell in a small neighborhood whose component is
+    enclosed (small)."""
+    import numpy as np
+    from scipy import ndimage
+    unset = ~grid.is_cond(fl.CT_NODE_IS_SET_2D)
+    lab, _ = ndimage.label(unset, structure=np.array(
+        [[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool))
+    limit = unset.sum() / 4
+    best = None
+    for radius in range(0, 10):
+        for di in range(-radius, radius + 1):
+            for dj in range(-radius, radius + 1):
+                if max(abs(di), abs(dj)) != radius:
+                    continue
+                ii, jj = sx + di, sy + dj
+                if not (0 <= ii < grid.MaxX and 0 <= jj < grid.MaxY):
+                    continue
+                l = lab[ii, jj]
+                if l == 0:
+                    continue
+                if (lab == l).sum() < limit:
+                    return ii, jj
+                if best is None:
+                    best = (ii, jj)
+    return best if best is not None else (sx, sy)
 
 
 def _rotate_contour(bc: BoundContour, x0n: float, y0n: float, angle: float):

@@ -88,7 +88,10 @@ class Source2D:
                     else:
                         DR2 = math.pi * abs(self.sy ** 2 * dy * dy
                                             - self.ey ** 2 * dy * dy)
-                        rho_src = self.M_s0 / (dx * DR2)
+                        # C++ divides by zero (-> inf) for sy == ey
+                        # (hyper_flow_source.cpp:82-84); keep it finite-safe
+                        rho_src = self.M_s0 / (dx * DR2) if DR2 else \
+                            float("inf")
                 else:
                     rho_src = self.M_s0 / (dx * dy)
                 write(x, y, rho_src)

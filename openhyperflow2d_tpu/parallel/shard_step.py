@@ -1,0 +1,221 @@
+"""Explicit shard_map halo-exchange inner loop.
+
+The GSPMD path (parallel/mesh.py) lets XLA infer the halo collectives from
+the global-array stencil.  This module is the hand-scheduled alternative —
+the direct TPU analog of the reference's MPI strip decomposition with
+1-column halo Send/Recv (deeps2d_core.cpp:1336-1399):
+
+* the domain is strip-partitioned along X over the mesh's 'x' axis;
+* each iteration ppermutes H=3 boundary columns to the neighbor shards
+  (one logical hop over ICI), runs the same stage functions on the extended
+  block, and crops the interior;
+* dt / RMS reductions are lax.pmin / lax.psum — keeping the reference-exact
+  dt pairing (unlike the Pallas path, the collective can sit mid-iteration).
+
+Halo semantics at the global boundary: the ring ppermute wraps, so the
+first/last shard receives the far end's columns; the received CT/TCT halos
+are zeroed there, which reproduces "no neighbor" (idXl/idXr = 0 already
+masks every stencil read, and zero CT kills the wall/solid masks used by
+the conjugate-heat shifts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core import flags as fl
+from ..core.physics import node_masks, _safe_div
+from ..core.state import ChemTables, GridMeta, SolverParams, SolverState
+from ..core.step import (SlimState, StepAux, expand, gfc, make_aux, pass12,
+                         shrink, _SLIM_FIELDS)
+
+HALO = 3
+SLIM_BIG = [f for f in _SLIM_FIELDS if f != "dt"]
+META_FIELDS = [f for f in GridMeta.__dataclass_fields__]
+
+
+def _pad_x(a, px):
+    pad = [(0, 0)] * (a.ndim - 2) + [(0, px), (0, 0)]
+    return jnp.pad(a, pad)
+
+
+def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
+                     beta_tab, cfl_tab, turb_start, src_ext, mesh: Mesh):
+    p = params
+    H = HALO
+    n = mesh.shape["x"]
+    X, Y = p.MaxX, p.MaxY
+    px = (-X) % n
+    Xp = X + px
+    dtype = p.jdtype
+
+    meta_pad = GridMeta(**{f: _pad_x(getattr(meta, f), px)
+                           for f in META_FIELDS})
+    src_pad = _pad_x(src_ext, px)
+    p_loc = SolverParams(**{**p.__dict__, "MaxX": Xp // n + 2 * H})
+
+    def aux_at(it):
+        return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+
+    def ext(a, zero_edge=False):
+        """Extend the local block with H halo columns from the neighbors."""
+        left = lax.ppermute(a[..., -H:, :], "x", fwd)    # from left nbr
+        right = lax.ppermute(a[..., :H, :], "x", bwd)    # from right nbr
+        if zero_edge:
+            idx = lax.axis_index("x")
+            left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+            right = jnp.where(idx == n - 1, jnp.zeros_like(right), right)
+        return jnp.concatenate([left, a, right], axis=-2)
+
+    def crop(a):
+        return a[..., H:-H, :]
+
+    def body(meta_ext, src_ext_loc, active_ext, slim, k):
+        aux_g = aux_at(k)
+        aux_p = aux_at(k + 1)
+        slim_ext = SlimState(**{f: ext(getattr(slim, f))
+                                for f in SLIM_BIG}, dt=slim.dt)
+        full = expand(slim_ext, p_loc, src_ext_loc)
+        out, dt_loc, unstable = gfc(full, meta_ext, p_loc, chem, aux_g,
+                                    j0=0)
+        # dt_loc reduced over the extended block; recompute over interior
+        cfl_min = jnp.minimum(jnp.asarray(p.CFL, dtype), aux_g.cfl_scen)
+        k_new = _safe_div(out.CP, out.CP - out.R, 2.0)
+        aaa = jnp.sqrt(jnp.maximum(k_new * out.R * out.Tg, 0.0))
+        dtn = cfl_min * jnp.minimum(p.dx / (aaa + jnp.abs(out.U)),
+                                    p.dy / (aaa + jnp.abs(out.V)))
+        dtn = jnp.where(active_ext, dtn, 1.0)
+        dt_new = lax.pmin(jnp.minimum(1.0, jnp.min(crop(dtn))), "x")
+        if p.serial_dt_mode:
+            dt_new = jnp.minimum(dt_new, slim.dt)
+        out = SolverState(**{**out.__dict__, "dt": dt_new.astype(dtype)})
+        S_c, beta_c, _, _, fields = pass12(out, meta_ext, p_loc, aux_p,
+                                           j0=0, return_fields=True)
+        new_slim = SlimState(
+            **{f: crop(getattr(out, f)) for f in SLIM_BIG
+               if f not in ("S", "beta")},
+            S=crop(S_c), beta=crop(beta_c), dt=dt_new.astype(dtype))
+
+        gate = crop(fields["gate"])
+        abs_dd = crop(fields["abs_dd"])
+        tmp = crop(fields["tmp"])
+        dd_l = crop(fields["dd_local"])
+        if p.isAlternateRMS:
+            num = lax.psum(jnp.sum(jnp.where(gate, abs_dd * abs_dd, 0.0),
+                                   (-2, -1)), "x")
+            den = lax.psum(jnp.sum(jnp.where(gate, tmp * tmp, 0.0),
+                                   (-2, -1)), "x")
+        else:
+            num = lax.psum(jnp.sum(jnp.where(gate, dd_l * dd_l, 0.0),
+                                   (-2, -1)), "x")
+            den = lax.psum(jnp.sum(gate, (-2, -1)).astype(dtype), "x")
+        rms = jnp.where((num > 0) & (den > 0),
+                        jnp.sqrt(_safe_div(num, den)), num)
+        ddm = lax.pmax(jnp.max(jnp.where(gate, dd_l, 0.0), (-2, -1)), "x")
+        uns = lax.pmax(jnp.any(crop(unstable)).astype(jnp.int32), "x")
+        diag = {"RMS": rms, "DD_max": ddm, "dt_used": dt_new,
+                "unstable": uns > 0}
+        return new_slim, diag
+
+    def sharded_inner(meta_loc_tree, src_loc, slim0_tree, start_iter,
+                      n_iters):
+        meta_loc = GridMeta(**dict(zip(META_FIELDS, meta_loc_tree)))
+        slim0 = SlimState(**dict(zip(_SLIM_FIELDS, slim0_tree)))
+        meta_ext = GridMeta(**{
+            f: ext(getattr(meta_loc, f),
+                   zero_edge=(f in ("CT", "TCT", "idXl", "idXr",
+                                    "idYu", "idYd")))
+            for f in META_FIELDS})
+        src_ext_loc = ext(src_loc)
+        _, _, _, active_ext = node_masks(meta_ext)
+        ks = start_iter + jnp.arange(n_iters - 1)
+        slim_f, diags = lax.scan(partial(body, meta_ext, src_ext_loc,
+                                         active_ext), slim0, ks)
+        return tuple(getattr(slim_f, f) for f in _SLIM_FIELDS), diags
+
+    spec_x = P(None, "x", None)
+    spec_x2 = P("x", None)
+
+    def spec_for(a):
+        return spec_x if a.ndim == 3 else (spec_x2 if a.ndim == 2 else P())
+
+    meta_leaves = [getattr(meta_pad, f) for f in META_FIELDS]
+    in_specs = (tuple(spec_for(a) for a in meta_leaves),
+                spec_x, None, P(), P())
+    out_specs = (tuple(P() if f == "dt" else
+                       (spec_x if getattr(meta_pad, "CT").ndim + 1 == 3
+                        else spec_x) for f in _SLIM_FIELDS), P())
+
+    # build out_specs properly per slim leaf rank
+    slim_ranks = {"S": 3, "beta": 3, "Yc": 3}
+    out_specs = (tuple(
+        (P() if f == "dt" else
+         (spec_x if slim_ranks.get(f, 2) == 3 else spec_x2))
+        for f in _SLIM_FIELDS), {"RMS": P(), "DD_max": P(),
+                                 "dt_used": P(), "unstable": P()})
+
+    def in_spec_for_slim(f):
+        if f == "dt":
+            return P()
+        return spec_x if slim_ranks.get(f, 2) == 3 else spec_x2
+
+    def chunk(state: SolverState, n_iters: int, start_iter):
+        aux0 = aux_at(start_iter)
+        S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0)
+        slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
+                                     "beta": beta_c}))
+        slim_pad = SlimState(**{f: _pad_x(getattr(slim, f), px)
+                                for f in SLIM_BIG}, dt=slim.dt)
+        if n_iters > 1:
+            inner = shard_map(
+                partial(sharded_inner, n_iters=n_iters),
+                mesh=mesh,
+                in_specs=(tuple(spec_for(a) for a in meta_leaves),
+                          spec_x,
+                          tuple(in_spec_for_slim(f) for f in _SLIM_FIELDS),
+                          P()),
+                out_specs=out_specs,
+                check_vma=False)
+            slim_leaves, diags = inner(
+                tuple(meta_leaves), src_pad,
+                tuple(getattr(slim_pad, f) for f in _SLIM_FIELDS),
+                start_iter)
+            slim_pad = SlimState(**dict(zip(_SLIM_FIELDS, slim_leaves)))
+        else:
+            diags = None
+        slim = SlimState(**{f: getattr(slim_pad, f)[..., :X, :]
+                            for f in SLIM_BIG}, dt=slim_pad.dt)
+        full = expand(slim, p, src_ext)
+        out, dt_new, unstable_last = gfc(full, meta, p, chem,
+                                         aux_at(start_iter + n_iters - 1))
+        out = SolverState(**{**out.__dict__, "dt": dt_new})
+
+        def lead(a, b):
+            return jnp.concatenate([a[None], b], 0) if b is not None \
+                else a[None]
+
+        def trail(b, a):
+            return jnp.concatenate([b, a[None]], 0) if b is not None \
+                else a[None]
+
+        all_diag = {
+            "RMS": lead(diag0["RMS"], diags["RMS"] if diags else None),
+            "dt_used": lead(diag0["dt_used"],
+                            diags["dt_used"] if diags else None),
+            "DD_max": lead(diag0["DD_max"],
+                           diags["DD_max"] if diags else None),
+            "unstable": trail(diags["unstable"] if diags else None,
+                              unstable_last),
+        }
+        return out, all_diag
+
+    return chunk

@@ -35,7 +35,10 @@ def test_three_cylinders():
 
 @pytest.mark.slow
 def test_airfoil_with_attack_angle():
-    case, s, d = _run(airfoil_deck(nx=160, ny=96, mach=0.7,
+    # coarse grids leave no interior cells in a 12%-thick airfoil (the
+    # reference aborts identically: FillArea2D AS_ERR_INIT_POINT)
+    case, s, d = _run(airfoil_deck(nx=256, ny=128, mach=0.7,
+                                   attack_deg=2.0,
                                    problem_type=0, turb_model=0), iters=20)
     solid = case.grid.is_cond(fl.CT_SOLID_2D)
     assert solid.sum() > 40
