@@ -385,7 +385,8 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
     aaa = jnp.sqrt(jnp.maximum(k_new * filled.R * filled.Tg, 0.0))
     dt_nodes = cfl_min * jnp.minimum(p.dx / (aaa + jnp.abs(filled.U)),
                                      p.dy / (aaa + jnp.abs(filled.V)))
-    dt_new = jnp.minimum(1.0, jnp.min(jnp.where(active, dt_nodes, 1.0)))
+    dt_field = jnp.where(active, dt_nodes, 1.0)
+    dt_new = jnp.minimum(1.0, jnp.min(dt_field))
     if p.serial_dt_mode:
         dt_new = jnp.minimum(dt_new, state.dt)
 
@@ -396,6 +397,10 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
     if not p.isAdiabaticWall:
         out = calc_heat_on_wall_sources(out, meta, p)
 
+    if return_fields:
+        # per-node dt field (pre-chemistry properties, exactly as reduced
+        # above) for callers that must reduce over tile/shard interiors
+        return out, dt_field.astype(dtype), unstable
     return out, dt_new.astype(dtype), unstable
 
 

@@ -85,16 +85,12 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
         slim_ext = SlimState(**{f: ext(getattr(slim, f))
                                 for f in SLIM_BIG}, dt=slim.dt)
         full = expand(slim_ext, p_loc, src_ext_loc)
-        out, dt_loc, unstable = gfc(full, meta_ext, p_loc, chem, aux_g,
-                                    j0=0)
-        # dt_loc reduced over the extended block; recompute over interior
-        cfl_min = jnp.minimum(jnp.asarray(p.CFL, dtype), aux_g.cfl_scen)
-        k_new = _safe_div(out.CP, out.CP - out.R, 2.0)
-        aaa = jnp.sqrt(jnp.maximum(k_new * out.R * out.Tg, 0.0))
-        dtn = cfl_min * jnp.minimum(p.dx / (aaa + jnp.abs(out.U)),
-                                    p.dy / (aaa + jnp.abs(out.V)))
-        dtn = jnp.where(active_ext, dtn, 1.0)
-        dt_new = lax.pmin(jnp.minimum(1.0, jnp.min(crop(dtn))), "x")
+        out, dt_field, unstable = gfc(full, meta_ext, p_loc, chem, aux_g,
+                                      j0=0, return_fields=True)
+        # reduce the pre-chemistry per-node dt over the shard interior, then
+        # globally (the reference's per-rank min + Bcast,
+        # deeps2d_core.cpp:805-825)
+        dt_new = lax.pmin(jnp.minimum(1.0, jnp.min(crop(dt_field))), "x")
         if p.serial_dt_mode:
             dt_new = jnp.minimum(dt_new, slim.dt)
         out = SolverState(**{**out.__dict__, "dt": dt_new.astype(dtype)})
@@ -184,7 +180,7 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
                           tuple(in_spec_for_slim(f) for f in _SLIM_FIELDS),
                           P()),
                 out_specs=out_specs,
-                check_vma=False)
+                check_rep=False)
             slim_leaves, diags = inner(
                 tuple(meta_leaves), src_pad,
                 tuple(getattr(slim_pad, f) for f in _SLIM_FIELDS),
