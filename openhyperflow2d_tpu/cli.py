@@ -58,6 +58,8 @@ def main(argv=None):
 
     platform = jax.devices()[0].platform
     dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
 
     print(f"Load {args.deck!r} ...", flush=True)
     deck = load_deck(args.deck)

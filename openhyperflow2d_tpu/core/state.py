@@ -212,8 +212,13 @@ def state_from_grid(grid, params: SolverParams, dt0: float) -> SolverState:
     z9 = jnp.zeros((ne, X, Y), dt)
     z1 = jnp.zeros((X, Y), dt)
     z4 = jnp.zeros((4, X, Y), dt)
+    # fill-time turbulence fluxes from the area flood fill (see
+    # solver/init.py; hyper_flow_area.cpp:174) — survive the turbulence
+    # reset just as the reference's A/B arrays do
+    A0 = a(grid.extras["init_A"]) if "init_A" in grid.extras else z9
+    B0 = a(grid.extras["init_B"]) if "init_B" in grid.extras else z9
     return SolverState(
-        S=a(grid.S), beta=a(grid.beta), A=z9, B=z9, F=z9,
+        S=a(grid.S), beta=a(grid.beta), A=A0, B=B0, F=z9,
         dSdx=z9, dSdy=z9, Src=a(grid.Src), SrcAdd=z9,
         U=a(grid.U), V=a(grid.V), p=a(grid.p), Tg=a(grid.Tg),
         Yc=a(grid.Y), R=a(grid.R), CP=a(grid.CP), lam=a(grid.lam),

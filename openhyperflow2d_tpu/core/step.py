@@ -190,7 +190,8 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     beta = state.beta
     blend = (dxx * (S_L + S_R) + dyy * (S_U + S_D)) * 0.5
     if p.ft == fl.FT_AXISYMMETRIC:
-        jp1 = (j0 + jnp.arange(state.S.shape[-1], dtype=dtype)
+        jp1 = (j0 + jnp.arange(state.S.shape[-1],
+                       dtype=jnp.int32).astype(dtype)
                + 1.0)[None, None, :]
         y_term = dYY + state.F / jp1
     else:

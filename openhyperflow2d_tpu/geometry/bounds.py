@@ -19,15 +19,20 @@ from ..gasdyn.flow import Flow, Flow2D
 from .grid import HostGrid
 
 
-def parse_cond_string(cond: str):
+def parse_cond_string(cond: str, model_tct: int = 0):
     """Deck condition string -> (CT bits, TCT bits).
 
     Substring matching like the reference (strstr), including the else-if
     groups for turbulence-model names (deeps2d_core.cpp:3372-3381) and the
-    macro node types (3414-3439).
+    macro node types (3414-3439).  ``model_tct`` is the model bit derived
+    from the bound's ``TurbulenceModel`` key — the reference ORs it into
+    TmpTurbulenceCT BEFORE the per-flag strstr gate
+    (deeps2d_core.cpp:3548-3560 then 3384-3414), so TCT_* boundary flags in
+    the cond string are honored whenever the bound's model is k-eps or SA
+    even if no model name appears in the string itself.
     """
     ct = 0
-    tct = 0
+    tct = model_tct
     for name, flag in fl.CT_NAME_TO_FLAG.items():
         if name in cond:
             ct |= flag

@@ -200,13 +200,14 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         # partial buffers are whole-(nbx,nby,9) blocks mapped to the same
         # offset for every program (the TPU grid is sequential, so each
         # tile writes its own row without races)
-        pr_num[ti, tj, :] = num
-        pr_den[ti, tj, :] = den
-        pr_max[ti, tj, :] = ddm
+        pr_num[pl.ds(ti, 1), pl.ds(tj, 1), :] = num.reshape(1, 1, 9)
+        pr_den[pl.ds(ti, 1), pl.ds(tj, 1), :] = den.reshape(1, 1, 9)
+        pr_max[pl.ds(ti, 1), pl.ds(tj, 1), :] = ddm.reshape(1, 1, 9)
         solid, is_set, fc, active = node_masks(meta_blk)
         uns = active[H:H + TX, H:H + TY] \
             & (out_state.Tg[H:H + TX, H:H + TY] < 0.0)
-        pr_uns[ti, tj] = jnp.any(uns).astype(jnp.int32)
+        pr_uns[pl.ds(ti, 1), pl.ds(tj, 1)] = \
+            jnp.any(uns).astype(jnp.int32).reshape(1, 1)
 
         for c in wcopies:
             c.wait()

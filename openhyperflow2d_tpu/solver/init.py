@@ -269,9 +269,10 @@ def build_case(deck: Deck, dtype: str = "float64",
         s_y = max(int(pts.y[0] / dy), 0)
         e_x = max(int(pts.x[1] / dx), 0)
         e_y = max(int(pts.y[1] / dy), 0)
-        ct, tct = parse_cond_string(deck.get_str(f"{name}.Cond"))
-        tct |= turb_model_id_to_tct(
-            deck.get_int(f"{name}.TurbulenceModel", 0, required=False))
+        ct, tct = parse_cond_string(
+            deck.get_str(f"{name}.Cond"),
+            turb_model_id_to_tct(
+                deck.get_int(f"{name}.TurbulenceModel", 0, required=False)))
         if ct == 0:
             raise ValueError(f"Unknown condition type in {name}")
         flow, flow2d, Yb = _resolve_bound_flow(deck, name, flow_list,
@@ -291,10 +292,11 @@ def build_case(deck: Deck, dtype: str = "float64",
         last_args = None
         for i in range(1, npts + 1):
             cond = deck.get_str(f"{cname}.Bound{i}.Cond")
-            ct, tct = parse_cond_string(cond)
-            tct |= turb_model_id_to_tct(
-                deck.get_int(f"{cname}.Bound{i}.TurbulenceModel", 0,
-                             required=False))
+            ct, tct = parse_cond_string(
+                cond,
+                turb_model_id_to_tct(
+                    deck.get_int(f"{cname}.Bound{i}.TurbulenceModel", 0,
+                                 required=False)))
             if ct == 0 and tct == 0:
                 raise ValueError(f"Unknown condition in {cname}.Bound{i}")
             flow, flow2d, Yb = _resolve_bound_flow(
@@ -344,6 +346,18 @@ def build_case(deck: Deck, dtype: str = "float64",
         add_airfoil(grid, deck, f"Airfoil{i}", flow_list, flow2d_list)
 
     # ---- areas (4298-4508) --------------------------------------------------
+    # The reference flood fill runs a FULL FillNode2D(is_mu_t=1, is_init=0)
+    # on every filled gas node (hyper_flow_area.cpp:174) under the AREA's
+    # turbulence model — populating A/B for the turbulence equations with
+    # the fill-time state (l_min still 0, gradients 0).  A later
+    # isTurbulenceReset re-flags the model and zeroes S/Src/mu_t for eqs 7-8
+    # but NOT A/B (deeps2d_core.cpp:2196-2204) — stale area-model fluxes
+    # persist into the first iterations (and, when the area model differs
+    # from the run model, e.g. k-eps area + SA run, destabilize the run
+    # exactly as the reference does).  ``full_fill_mask`` records the nodes
+    # that received the full fill so the staged A/B planes can be computed
+    # below, just before the reset.
+    full_fill_mask = np.zeros((MaxX, MaxY), bool)
     for i in range(1, deck.get_int("NumArea", 0, required=False) + 1):
         aname = f"Area{i}"
         atab = deck.get_table(aname)
@@ -359,8 +373,8 @@ def build_case(deck: Deck, dtype: str = "float64",
                 tct = turb_model_id_to_tct(
                     deck.get_int(f"{aname}.TurbulenceModel", 0,
                                  required=False))
-                fill_area(grid, seed_x, seed_y, 0,
-                          flow2d_list[fi2 - 1], Yb, tct)
+                full_fill_mask |= fill_area(grid, seed_x, seed_y, 0,
+                                            flow2d_list[fi2 - 1], Yb, tct)
             else:
                 fi = deck.get_int(f"{aname}.Flow", 0, required=False)
                 comp = deck.get_int(f"Flow{fi}.CompIndex")
@@ -368,8 +382,9 @@ def build_case(deck: Deck, dtype: str = "float64",
                 tct = turb_model_id_to_tct(
                     deck.get_int(f"{aname}.TurbulenceModel", 0,
                                  required=False))
-                fill_area(grid, seed_x, seed_y, 0,
-                          Flow2D(flow=flow_list[fi - 1]), Yb, tct)
+                full_fill_mask |= fill_area(grid, seed_x, seed_y, 0,
+                                            Flow2D(flow=flow_list[fi - 1]),
+                                            Yb, tct)
 
     # ---- first-initialization loop (4510-4571) ------------------------------
     solid = grid.is_cond(fl.CT_SOLID_2D)
@@ -426,6 +441,42 @@ def build_case(deck: Deck, dtype: str = "float64",
     # ---- wall scan / decomposition bookkeeping (4625-4650) ------------------
     if sm == fl.SM_NS:
         set_wall_nodes(grid)
+    # ---- fill-time turbulence fluxes (hyper_flow_area.cpp:174) --------------
+    # Replays the A/B planes the reference's per-node FillNode2D(1) left for
+    # the turbulence equations: at fill time all gradients are zero and
+    # l_min=0 (l = min(dx,dy)*0.41), so A7=Sk*U, B7=Sk*V, A8=Se*U, B8=Se*V
+    # with Sk = 1.5*(I*|W|)^2*rho, Se = C_mu^0.75*(Sk/rho)^1.5/l (k-eps
+    # areas, hyper_flow_node.hpp:786-800) and A7=Snu*U, B7=Snu*V with
+    # Snu = mu/rho/100 (SA areas, hpp:899-908).  The Src[7..8] the fill also
+    # leaves behind are always wiped by the reset below (all runnable
+    # reference decks set isTurbulenceReset=1), so they are not staged.
+    m_gas = full_fill_mask & ~grid.is_cond(fl.CT_SOLID_2D)
+    if sm == fl.SM_NS and m_gas.any():
+        init_A = np.zeros((fl.NUM_EQ, MaxX, MaxY))
+        init_B = np.zeros((fl.NUM_EQ, MaxX, MaxY))
+        rho_f = grid.S[fl.i2d_Rho]
+        rho_sf = np.where(rho_f != 0, rho_f, 1.0)
+        U_f = grid.S[fl.i2d_RhoU] / rho_sf
+        V_f = grid.S[fl.i2d_RhoV] / rho_sf
+        m_ke = m_gas & ((grid.TCT & fl.TCT_k_eps_Model_2D) != 0)
+        m_sa_f = (m_gas & ((grid.TCT & fl.TCT_Spalart_Allmaras_Model_2D) != 0)
+                  & ~m_ke)
+        w2 = U_f * U_f + V_f * V_f + 1.e-30
+        tmpI = 0.005 * np.sqrt(w2)            # FlowNodeTurbulence2D::I
+        Sk_f = 1.5 * tmpI * tmpI * rho_f
+        l_fill = min(dx, dy) * 0.41
+        Se_f = 0.09 ** 0.75 * np.maximum(Sk_f / rho_sf, 0.0) ** 1.5 / l_fill
+        init_A[fl.i2d_k][m_ke] = (Sk_f * U_f)[m_ke]
+        init_B[fl.i2d_k][m_ke] = (Sk_f * V_f)[m_ke]
+        init_A[fl.i2d_eps][m_ke] = (Se_f * U_f)[m_ke]
+        init_B[fl.i2d_eps][m_ke] = (Se_f * V_f)[m_ke]
+        if m_sa_f.any():
+            Snu_f = grid.mu / rho_sf / 100.0
+            init_A[fl.i2d_nu_t][m_sa_f] = (Snu_f * U_f)[m_sa_f]
+            init_B[fl.i2d_nu_t][m_sa_f] = (Snu_f * V_f)[m_sa_f]
+        grid.extras["init_A"] = init_A
+        grid.extras["init_B"] = init_B
+
     # ScanArea turbulence reset (2165-2205)
     active = grid.is_cond(fl.CT_NODE_IS_SET_2D) & ~grid.is_cond(
         fl.CT_SOLID_2D)
