@@ -374,7 +374,9 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
     # ---------------- FillNode2D (1240-1244, 1330-1331) --------------------
     # active nodes: is_mu_t iff iter+last_iter >= TurbStartIter;
     # NT_FC nodes: always refreshed with is_mu_t=1.
-    is_mu_t = jnp.where(fc, True, aux.is_mu_t_iter)
+    # logical-or form of where(fc, True, iter-flag): Mosaic cannot lower the
+    # i8->i1 select this produced
+    is_mu_t = fc | jnp.asarray(aux.is_mu_t_iter, bool)
     filled = fill_node(mid, meta, p, is_mu_t, is_init=False, j0=j0)
 
     unstable_field = active & (filled.Tg < 0.0)

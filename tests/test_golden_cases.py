@@ -94,3 +94,23 @@ def test_triplepoint_axisymmetric_50_iters():
         err = np.abs(np.asarray(mine) - ref) / np.abs(ref).max()
         assert err.max() < 2e-2, (name, err.max())
         assert err.mean() < 1e-5, (name, err.mean())
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("HF2D_LONG_GOLDEN"),
+                    reason="~10 min: set HF2D_LONG_GOLDEN=1 to run")
+def test_wedge_ns_keps_2000_iters():
+    """Long-horizon NS+k-eps: 2000 iterations vs the serial reference.
+
+    Measured envelope (float64, serial_dt_mode): mean rel err 1.3-4.4e-5,
+    corr >= 0.999996 on p/U/V/T/Rho; mu_t/mu mean 5.4e-4 (chaotic
+    amplification along the shock/boundary-layer feet, see VALIDATION.md)."""
+    st, case = _run("Wedge.dat", 2000)
+    g = np.load(os.path.join(HERE, "golden", "wedge2000_golden.npz"))
+    for name, mine in [("p", st.p), ("U", st.U), ("V", st.V),
+                       ("T", st.Tg), ("Rho", st.S[0])]:
+        ref = g[name].astype(np.float64)
+        err = np.abs(np.asarray(mine) - ref) / np.abs(ref).max()
+        corr = np.corrcoef(np.asarray(mine).ravel(), ref.ravel())[0, 1]
+        assert err.mean() < 2e-4, (name, err.mean())
+        assert corr > 0.9999, (name, corr)
