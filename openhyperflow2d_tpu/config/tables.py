@@ -81,10 +81,15 @@ def table_lookup(xs, ys, q):
     """
     import jax.numpy as jnp
 
-    xs = jnp.asarray(xs)
-    ys = jnp.asarray(ys)
+    # tuple/list knots (scalars) are kept as-is — the Pallas kernel passes
+    # SMEM scalar reads this way, avoiding rank-1 vectors that Mosaic's
+    # layout inference cannot place
+    if not isinstance(xs, (tuple, list)):
+        xs = jnp.asarray(xs)
+    if not isinstance(ys, (tuple, list)):
+        ys = jnp.asarray(ys)
     q = jnp.asarray(q)
-    n = xs.shape[0]
+    n = len(xs) if isinstance(xs, (tuple, list)) else xs.shape[0]
     if n == 1:
         return jnp.broadcast_to(ys[0], q.shape).astype(q.dtype)
 

@@ -17,6 +17,7 @@ previous values through the masks.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config.tables import table_lookup
@@ -141,8 +142,8 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     Tg_new = _safe_div(p_new, state.R * rho_s)
 
     # --- effective transport & viscous/convective fluxes -------------------
-    jj = j0 + jnp.arange(state.S.shape[-1],
-                     dtype=jnp.int32).astype(dt)[None, :]
+    jj = j0 + jax.lax.broadcasted_iota(
+        jnp.int32, (state.S.shape[-2], state.S.shape[-1]), 1).astype(dt)
     y_r = (jj + 0.5) * p.dy                  # node radius (x,y init: 3877)
 
     if p.sm == fl.SM_NS:
@@ -287,8 +288,8 @@ def _turb_mod_rans(state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
     tmp2 = rho * l_base
     tmp3 = state.dUdx ** 2 + state.dVdy ** 2
     if p.ft == fl.FT_AXISYMMETRIC:
-        jj = j0 + jnp.arange(s[0].shape[-1],
-                     dtype=jnp.int32).astype(dt)[None, :]
+        jj = j0 + jax.lax.broadcasted_iota(
+            jnp.int32, (s[0].shape[-2], s[0].shape[-1]), 1).astype(dt)
         y_r = (jj + 0.5) * p.dy
         tmp3 = tmp3 + U / y_r
     mu_t_ke = jnp.where(mu_t == 0, rho * l_base * l_base * grad_mag, mu_t)

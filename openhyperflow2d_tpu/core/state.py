@@ -193,6 +193,10 @@ class SolverParams:
     # the MPI build recomputes it every iteration.  MPI semantics are
     # canonical here; enable this flag to replicate serial golden runs.
     serial_dt_mode: bool = False
+    # serial build's AlternateRMS accumulates the SIGNED residual (not its
+    # square) and zeroes the result when the sum is negative
+    # (deeps2d_core.cpp:1139-1141, 1541-1549); the MPI build squares it
+    serial_rms_mode: bool = False
     dtype: str = "float64"
 
     @property

@@ -190,9 +190,9 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     beta = state.beta
     blend = (dxx * (S_L + S_R) + dyy * (S_U + S_D)) * 0.5
     if p.ft == fl.FT_AXISYMMETRIC:
-        jp1 = (j0 + jnp.arange(state.S.shape[-1],
-                       dtype=jnp.int32).astype(dtype)
-               + 1.0)[None, None, :]
+        jp1 = (j0 + jax.lax.broadcasted_iota(
+            jnp.int32, (state.S.shape[-2], state.S.shape[-1]), 1).astype(dtype)
+               + 1.0)[None]
         y_term = dYY + state.F / jp1
     else:
         y_term = dYY
@@ -243,11 +243,15 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
         return S_committed, beta_out, dSdx_new, dSdy_new, fields
 
     if p.isAlternateRMS:
-        rms = jnp.sum(jnp.where(dd_gate, abs_dd * abs_dd, 0.0),
-                      axis=(-2, -1))
+        # serial build accumulates the SIGNED residual (deeps2d_core.cpp:
+        # 1139-1141) and returns 0 when the sum is not positive (1541-1549);
+        # the MPI build accumulates absDD^2 (1128-1130)
+        acc = abs_dd if p.serial_rms_mode else abs_dd * abs_dd
+        rms = jnp.sum(jnp.where(dd_gate, acc, 0.0), axis=(-2, -1))
         sum_div = jnp.sum(jnp.where(dd_gate, tmp * tmp, 0.0), axis=(-2, -1))
+        fallback = 0.0 if p.serial_rms_mode else rms
         rms_out = jnp.where((rms > 0) & (sum_div > 0),
-                            jnp.sqrt(_safe_div(rms, sum_div)), rms)
+                            jnp.sqrt(_safe_div(rms, sum_div)), fallback)
     else:
         rms = jnp.sum(jnp.where(dd_gate, dd_local * dd_local, 0.0),
                       axis=(-2, -1))

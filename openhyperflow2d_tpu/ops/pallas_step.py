@@ -147,7 +147,15 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                             NGY=zi32.astype(jnp.int8),
                             i_wall=zi32, j_wall=zi32, **mvals)
         src_w = clean(win_scr[len(SLIM_BIG) + len(META_BIG)][...])
-        chem_blk = ChemTables(**{f: chem_refs[k][...]
+        # chem tables live in SMEM; materialize them as static tuples of
+        # scalar reads (table_lookup indexes knots statically) — rank-1
+        # VMEM vectors crash Mosaic layout inference
+        def chem_leaf(k, f):
+            size = getattr(chem, f).shape[0]
+            if size == 1:
+                return chem_refs[k][0]
+            return tuple(chem_refs[k][i] for i in range(size))
+        chem_blk = ChemTables(**{f: chem_leaf(k, f)
                                  for k, f in enumerate(CHEM_FIELDS)})
 
         j0 = y0 - H    # unpadded global j of window row 0
@@ -190,24 +198,27 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         abs_dd = fields["abs_dd"][:, H:H + TX, H:H + TY]
         tmp = fields["tmp"][:, H:H + TX, H:H + TY]
         dd_l = fields["dd_local"][:, H:H + TX, H:H + TY]
+        kd = dict(axis=(-2, -1), keepdims=True)   # (9,TX,TY) -> (9,1,1)
         if p.isAlternateRMS:
-            num = jnp.sum(jnp.where(gate, abs_dd * abs_dd, 0.0), (-2, -1))
-            den = jnp.sum(jnp.where(gate, tmp * tmp, 0.0), (-2, -1))
+            acc = abs_dd if p.serial_rms_mode else abs_dd * abs_dd
+            num = jnp.sum(jnp.where(gate, acc, 0.0), **kd)
+            den = jnp.sum(jnp.where(gate, tmp * tmp, 0.0), **kd)
         else:
-            num = jnp.sum(jnp.where(gate, dd_l * dd_l, 0.0), (-2, -1))
-            den = jnp.sum(gate, (-2, -1)).astype(dtype)
-        ddm = jnp.max(jnp.where(gate, dd_l, 0.0), (-2, -1))
-        # partial buffers are whole-(nbx,nby,9) blocks mapped to the same
+            num = jnp.sum(jnp.where(gate, dd_l * dd_l, 0.0), **kd)
+            den = jnp.sum(gate, **kd).astype(dtype)
+        ddm = jnp.max(jnp.where(gate, dd_l, 0.0), **kd)
+        # partial buffers are whole-(9,nbx,nby) blocks mapped to the same
         # offset for every program (the TPU grid is sequential, so each
-        # tile writes its own row without races)
-        pr_num[pl.ds(ti, 1), pl.ds(tj, 1), :] = num.reshape(1, 1, 9)
-        pr_den[pl.ds(ti, 1), pl.ds(tj, 1), :] = den.reshape(1, 1, 9)
-        pr_max[pl.ds(ti, 1), pl.ds(tj, 1), :] = ddm.reshape(1, 1, 9)
+        # tile writes its own cell without races); keepdims keeps every
+        # intermediate rank>=2 for Mosaic layout inference
+        pr_num[:, pl.ds(ti, 1), pl.ds(tj, 1)] = num
+        pr_den[:, pl.ds(ti, 1), pl.ds(tj, 1)] = den
+        pr_max[:, pl.ds(ti, 1), pl.ds(tj, 1)] = ddm
         solid, is_set, fc, active = node_masks(meta_blk)
         uns = active[H:H + TX, H:H + TY] \
             & (out_state.Tg[H:H + TX, H:H + TY] < 0.0)
         pr_uns[pl.ds(ti, 1), pl.ds(tj, 1)] = \
-            jnp.any(uns).astype(jnp.int32).reshape(1, 1)
+            jnp.sum(uns.astype(jnp.int32), **kd)
 
         for c in wcopies:
             c.wait()
@@ -218,14 +229,14 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
 
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [any_spec() for _ in range(n_in)]
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)
                    for _ in CHEM_FIELDS])
     out_specs = ([any_spec() for _ in SLIM_BIG]
-                 + [pl.BlockSpec((nbx, nby, 9), lambda i, j: (0, 0, 0),
+                 + [pl.BlockSpec((9, nbx, nby), lambda i, j: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((nbx, nby, 9), lambda i, j: (0, 0, 0),
+                    pl.BlockSpec((9, nbx, nby), lambda i, j: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((nbx, nby, 9), lambda i, j: (0, 0, 0),
+                    pl.BlockSpec((9, nbx, nby), lambda i, j: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((nbx, nby), lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM)])
@@ -263,9 +274,9 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         for f in SLIM_BIG:
             lead = {"S": (9,), "beta": (9,), "Yc": (4,)}.get(f, ())
             shapes.append(jax.ShapeDtypeStruct(lead + (XA, YA), dtype))
-        shapes += [jax.ShapeDtypeStruct((nbx, nby, 9), dtype),
-                   jax.ShapeDtypeStruct((nbx, nby, 9), dtype),
-                   jax.ShapeDtypeStruct((nbx, nby, 9), dtype),
+        shapes += [jax.ShapeDtypeStruct((9, nbx, nby), dtype),
+                   jax.ShapeDtypeStruct((9, nbx, nby), dtype),
+                   jax.ShapeDtypeStruct((9, nbx, nby), dtype),
                    jax.ShapeDtypeStruct((nbx, nby), jnp.int32)]
         return shapes
 
@@ -315,15 +326,16 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         new_leaves = outs[:len(SLIM_BIG)]
         num, den, ddm, uns = outs[len(SLIM_BIG):]
         slim2 = SlimState(**dict(zip(SLIM_BIG, new_leaves)), dt=dt_k)
-        nsum = num.sum((0, 1))
-        dsum = den.sum((0, 1))
+        nsum = num.sum((1, 2))
+        dsum = den.sum((1, 2))
         if p.isAlternateRMS:
+            fb = 0.0 if p.serial_rms_mode else nsum
             rms = jnp.where((nsum > 0) & (dsum > 0),
-                            jnp.sqrt(_safe_div(nsum, dsum)), nsum)
+                            jnp.sqrt(_safe_div(nsum, dsum)), fb)
         else:
             rms = jnp.where(dsum > 0, jnp.sqrt(_safe_div(nsum, dsum)),
                             nsum)
-        diag = {"RMS": rms, "DD_max": ddm.max((0, 1)), "dt_used": dt_k,
+        diag = {"RMS": rms, "DD_max": ddm.max((1, 2)), "dt_used": dt_k,
                 "unstable": uns.sum() > 0}
         return slim2, diag
 

@@ -106,7 +106,8 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
         tmp = crop(fields["tmp"])
         dd_l = crop(fields["dd_local"])
         if p.isAlternateRMS:
-            num = lax.psum(jnp.sum(jnp.where(gate, abs_dd * abs_dd, 0.0),
+            acc = abs_dd if p.serial_rms_mode else abs_dd * abs_dd
+            num = lax.psum(jnp.sum(jnp.where(gate, acc, 0.0),
                                    (-2, -1)), "x")
             den = lax.psum(jnp.sum(jnp.where(gate, tmp * tmp, 0.0),
                                    (-2, -1)), "x")
@@ -114,8 +115,9 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
             num = lax.psum(jnp.sum(jnp.where(gate, dd_l * dd_l, 0.0),
                                    (-2, -1)), "x")
             den = lax.psum(jnp.sum(gate, (-2, -1)).astype(dtype), "x")
+        fallback = 0.0 if (p.isAlternateRMS and p.serial_rms_mode) else num
         rms = jnp.where((num > 0) & (den > 0),
-                        jnp.sqrt(_safe_div(num, den)), num)
+                        jnp.sqrt(_safe_div(num, den)), fallback)
         ddm = lax.pmax(jnp.max(jnp.where(gate, dd_l, 0.0), (-2, -1)), "x")
         uns = lax.pmax(jnp.any(crop(unstable)).astype(jnp.int32), "x")
         diag = {"RMS": rms, "DD_max": ddm, "dt_used": dt_new,

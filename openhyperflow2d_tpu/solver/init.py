@@ -222,7 +222,8 @@ def _resolve_bound_flow(deck: Deck, key_prefix: str, flow_list, flow2d_list):
 
 
 def build_case(deck: Deck, dtype: str = "float64",
-               serial_dt_mode: bool = False) -> Case:
+               serial_dt_mode: bool = False,
+               serial_rms_mode: bool = None) -> Case:
     chem = load_chem_data(deck)
     MaxX = deck.get_int("MaxX")
     MaxY = deck.get_int("MaxY")
@@ -250,7 +251,9 @@ def build_case(deck: Deck, dtype: str = "float64",
         isAdiabaticWall=bool(deck.get_int("isAdiabaticWall")),
         isAlternateRMS=bool(deck.get_int("isAlternateRMS")),
         TurbStartIter=deck.get_int("TurbStartIter"),
-        turb_mod=turb_mod, serial_dt_mode=serial_dt_mode, dtype=dtype)
+        turb_mod=turb_mod, serial_dt_mode=serial_dt_mode,
+        serial_rms_mode=(serial_dt_mode if serial_rms_mode is None
+                         else serial_rms_mode), dtype=dtype)
 
     flow_list, flow2d_list = load_flows(deck, chem)
 

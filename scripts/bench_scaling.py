@@ -1,0 +1,96 @@
+"""Weak-scaling benchmark over a JAX device mesh.
+
+Usage:
+    python scripts/bench_scaling.py [--base 1024] [--iters 100] \
+        [--devices N] [--dtype float32] [--path gspmd|shard_map]
+
+Weak scaling: each device gets a (base x base) strip of a (N*base x base)
+domain (the reference's MPI strip decomposition along X,
+deeps2d_core.cpp:2143-2241); efficiency = GCUPS(N) / (N * GCUPS(1)).
+
+On a single-chip host this still runs (N=1).  For plumbing validation on
+CPU: XLA_FLAGS=--xla_force_host_platform_device_count=8
+JAX_PLATFORMS=cpu python scripts/bench_scaling.py --base 128 --iters 10
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def run(n_devices, base, iters, dtype, path):
+    from openhyperflow2d_tpu.examples import reacting_rans_deck
+    from openhyperflow2d_tpu.parallel.mesh import make_mesh, shard_solver
+    from openhyperflow2d_tpu.parallel.shard_step import make_shard_chunk
+    from openhyperflow2d_tpu.solver.init import build_case
+    from openhyperflow2d_tpu.solver.runner import Solver
+
+    nx, ny = n_devices * base, base
+    deck = reacting_rans_deck(nx, ny)
+    case = build_case(deck, dtype=dtype)
+    if path == "shard_map" and n_devices > 1:
+        solver = Solver(case)
+        mesh = make_mesh(n_devices)
+        solver._chunk_fn = jax.jit(make_shard_chunk(
+            solver.meta, solver.params, solver.chem,
+            (solver.beta_xs, solver.beta_ys),
+            (solver.cfl_xs, solver.cfl_ys),
+            solver.params.TurbStartIter, solver._src_ext, mesh),
+            static_argnums=(1,))
+    elif n_devices > 1:
+        solver = shard_solver(Solver(case), make_mesh(n_devices))
+    else:
+        solver = Solver(case)
+
+    solver.run_iters(max(iters // 10, 2))        # compile + warmup
+    jax.block_until_ready(solver.state.S)
+    t0 = time.perf_counter()
+    d = solver.run_iters(iters)
+    jax.block_until_ready(solver.state.S)
+    dt = time.perf_counter() - t0
+    assert not np.asarray(d["unstable"]).any()
+    gcups = nx * ny * iters / dt / 1e9
+    return gcups, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="max devices (0 = all)")
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--path", default="gspmd",
+                    choices=["gspmd", "shard_map"])
+    args = ap.parse_args()
+
+    avail = len(jax.devices())
+    nmax = args.devices or avail
+    results = {}
+    g1 = None
+    n = 1
+    while n <= nmax:
+        gcups, dt = run(n, args.base, args.iters, args.dtype, args.path)
+        g1 = g1 or gcups
+        eff = gcups / (n * g1)
+        results[n] = {"gcups_total": round(gcups, 3),
+                      "gcups_per_chip": round(gcups / n, 3),
+                      "weak_scaling_eff": round(eff, 3),
+                      "wall_s": round(dt, 2)}
+        print(json.dumps({"devices": n, **results[n]}), flush=True)
+        n *= 2
+    print(json.dumps({"metric": "weak_scaling_eff",
+                      "value": results[max(results)]["weak_scaling_eff"],
+                      "unit": "fraction", "vs_baseline":
+                      results[max(results)]["weak_scaling_eff"] / 0.85}))
+
+
+if __name__ == "__main__":
+    main()
