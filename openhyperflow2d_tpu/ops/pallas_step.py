@@ -2,31 +2,33 @@
 
 One kernel invocation performs the whole iteration per (TX, TY) tile:
 gradients -> FillNode2D -> chemistry -> wall heat -> pass 1 -> pass 2
-(commit + beta), reading exactly the 33-plane slim carry + static metadata
-from HBM once and writing the new carry once — the HBM-traffic optimum for
-the scheme.  The physics is the *same* stage code as the XLA path
+(commit + beta).  The physics is the *same* stage code as the XLA path
 (core/step.py, core/physics.py) evaluated on VMEM blocks, so the two paths
 cannot drift apart.
 
-Tiling: the domain is padded by a halo ring H=3 (enough for the deepest
-dependency chain: center pass-1 needs neighbor dSdx, which needs flux A two
-cells out, which needs gradients three cells out) plus round-up to tile
-multiples; padded nodes carry CT=0 (not NODE_IS_SET) and are inert.  Each
-tile DMAs its (TX+2H, TY+2H) window of every field, computes everything
-redundantly on the halo, and writes back only the (TX, TY) center.
+Tiling: each tile needs a halo ring H=3 (deepest dependency chain: center
+pass-1 needs neighbor dSdx, which needs flux A two cells out, which needs
+gradients three cells out).  Overlapping halo windows are not expressible
+as standard (aligned, disjoint) BlockSpec blocks, and manual HBM->VMEM
+DMAs require 128-lane-aligned slices, so the inputs are staged through an
+"exploded" layout: an XLA gather with clamped indices lays each tile's
+(TX+2H, TY+2H) window out contiguously (edge clamping == the XLA path's
+edge-replicated shifts; out-of-range values are masked by the reference's
+idXl/idXr/idYu/idYd neighbor flags).  The kernel then runs a standard
+auto-pipelined BlockSpec grid, computes everything redundantly on the
+halo, and writes back only the (TX, TY) center.  The explosion costs one
+extra HBM round trip of the ~33-plane carry per iteration — ~1.7x the
+theoretical traffic floor, still ~4x less than the multi-stage XLA path.
 
 dt semantics on this path: the global dt reduction is evaluated at scan
 level from the carried primitives, which gives the primitives one extra
 iteration of lag relative to the reference's already-lagged dt (the
-mixture properties are the exact pre-chemistry values via the CP_prev /
-R_prev carry).  CFL-limited dt differs by O(1e-3) relative; the XLA path
-keeps the reference-exact pairing and remains the validation reference.
+mixture properties are the exact pre-chemistry values via the CP / R
+carry).  CFL-limited dt differs by O(1e-3) relative; the XLA path keeps
+the reference-exact pairing and remains the validation reference.
 """
 
 from __future__ import annotations
-
-from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -49,43 +51,44 @@ META_BIG = ["CT", "TCT", "idXl", "idXr", "idYu", "idYd", "BGX", "BGY",
 CHEM_FIELDS = [f.name for f in ChemTables.__dataclass_fields__.values()]
 
 
-def _pad2(a, px, py, H, fill=0):
-    pad = [(0, 0)] * (a.ndim - 2) + [(H, px + H), (H, py + H)]
-    return jnp.pad(a, pad, constant_values=fill)
-
-
-def pad_tree(state_or_meta, X, Y, TX, TY, fields):
-    px = (-X) % TX
-    py = (-Y) % TY
-    kw = {}
-    for f in fields:
-        kw[f] = _pad2(getattr(state_or_meta, f), px, py, HALO)
-    return kw
-
-
 def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                       chem: ChemTables, beta_tab, cfl_tab, turb_start,
-                      src_ext, tile=(64, 64)):
+                      src_ext, tile=(64, 128)):
     """Build chunk(state, n_iters, start_iter) running the fused kernel.
 
-    ``state`` is an (unpadded) SolverState at rest; padding/unpadding happen
-    inside.  Matches make_fast_chunk's interface and prologue/epilogue
-    structure.
+    Matches make_fast_chunk's interface and prologue/epilogue structure.
     """
     p = params
     TX, TY = tile
+    # Pallas TPU blocks must have their last two dims divisible by (8, 128):
+    # round the tile up and use asymmetric halos that preserve divisibility
+    # (X halo 4 >= HALO; Y halo 64 >= HALO).  The >=HALO ring is what the
+    # stencil needs; the extra ring cells are redundant compute.
+    TX = -(-TX // 8) * 8
+    TY = -(-TY // 128) * 128
+    HX, HY = 4, 64
     H = HALO
     X, Y = p.MaxX, p.MaxY
-    Xp = X + ((-X) % TX)
-    Yp = Y + ((-Y) % TY)
-    nbx, nby = Xp // TX, Yp // TY
-    WX, WY = TX + 2 * H, TY + 2 * H
+    nbx = -(-X // TX)
+    nby = -(-Y // TY)
+    Xp, Yp = nbx * TX, nby * TY
+    WX, WY = TX + 2 * HX, TY + 2 * HY
     dtype = p.jdtype
 
-    # padded static inputs (built once at trace time)
-    meta_pad = {f: _pad2(getattr(meta, f), (-X) % TX, (-Y) % TY, H)
-                for f in META_BIG}
-    src_pad = _pad2(src_ext, (-X) % TX, (-Y) % TY, H)
+    # exploded-window gather indices (clamped = edge replication)
+    xi = np.clip((np.arange(nbx * WX) // WX) * TX
+                 + np.arange(nbx * WX) % WX - HX, 0, X - 1)
+    yj = np.clip((np.arange(nby * WY) // WY) * TY
+                 + np.arange(nby * WY) % WY - HY, 0, Y - 1)
+    xi = jnp.asarray(xi, jnp.int32)
+    yj = jnp.asarray(yj, jnp.int32)
+
+    def explode(a):
+        return jnp.take(jnp.take(a, xi, axis=-2), yj, axis=-1)
+
+    # static inputs exploded once at trace time
+    meta_ex = {f: explode(getattr(meta, f)) for f in META_BIG}
+    src_ex = explode(src_ext)
     p_blk = SolverParams(**{**p.__dict__, "MaxX": WX, "MaxY": WY})
 
     def aux_at(it):
@@ -102,51 +105,19 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         out_refs = refs[k0:k0 + len(SLIM_BIG)]
         pr_num, pr_den, pr_max, pr_uns = refs[k0 + len(SLIM_BIG):
                                               k0 + len(SLIM_BIG) + 4]
-        scr0 = k0 + len(SLIM_BIG) + 4
-        win_scr = refs[scr0:scr0 + n_in]
-        out_scr = refs[scr0 + n_in:scr0 + 2 * n_in - len(META_BIG) - 1]
-        in_sems = refs[-2]
-        out_sems = refs[-1]
 
-        ti = pl.program_id(0)
         tj = pl.program_id(1)
-        x0 = ti * TX
-        y0 = tj * TY
 
-        # ---- fetch all windows --------------------------------------------
-        copies = []
-        for k, ref in enumerate(list(slim_refs) + list(meta_refs)
-                                + [src_ref]):
-            idx = (pl.ds(x0, WX), pl.ds(y0, WY))
-            if ref.ndim == 3:
-                idx = (slice(None),) + idx
-            c = pltpu.make_async_copy(ref.at[idx], win_scr[k],
-                                     in_sems.at[k])
-            c.start()
-            copies.append(c)
-        for c in copies:
-            c.wait()
-
-        mvals = {f: win_scr[len(SLIM_BIG) + k][...]
-                 for k, f in enumerate(META_BIG)}
-        # sanitize never-written halo-ring lanes (outside every tile
-        # center): they are not NODE_IS_SET, but uninitialized HBM could
-        # hold NaNs that would poison 0*NaN products in masked branches
-        is_set_w = (mvals["CT"] & jnp.uint32(fl.CT_NODE_IS_SET_2D)) != 0
-
-        def clean(v):
-            return jnp.where(is_set_w, v, 0.0) if v.ndim == 2 \
-                else jnp.where(is_set_w[None], v, 0.0)
-
+        mvals = {f: meta_refs[k][...] for k, f in enumerate(META_BIG)}
         slim = SlimState(
-            **{f: clean(win_scr[k][...])
-               for k, f in enumerate(SLIM_BIG)},
+            **{f: slim_refs[k][...] for k, f in enumerate(SLIM_BIG)},
             dt=scal_ref[0].astype(dtype))
         zi32 = jnp.zeros((WX, WY), jnp.int32)
         meta_blk = GridMeta(NGX=zi32.astype(jnp.int8),
                             NGY=zi32.astype(jnp.int8),
                             i_wall=zi32, j_wall=zi32, **mvals)
-        src_w = clean(win_scr[len(SLIM_BIG) + len(META_BIG)][...])
+        src_w = src_ref[...]
+
         # chem tables live in SMEM; materialize them as static tuples of
         # scalar reads (table_lookup indexes knots statically) — rank-1
         # VMEM vectors crash Mosaic layout inference
@@ -158,7 +129,8 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         chem_blk = ChemTables(**{f: chem_leaf(k, f)
                                  for k, f in enumerate(CHEM_FIELDS)})
 
-        j0 = y0 - H    # unpadded global j of window row 0
+        j0 = tj * TY - HY   # global j of window row 0 (clamped rows are
+        #                     only read as masked neighbors)
         aux_g = StepAux(beta_scen=scal_ref[1].astype(dtype),
                         cfl_scen=scal_ref[2].astype(dtype),
                         is_mu_t_iter=scal_ref[3] > 0.5)
@@ -177,107 +149,87 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         # ---- write center crops ------------------------------------------
         new_slim = {**{f: getattr(out_state, f) for f in SLIM_BIG},
                     "S": S_c, "beta": beta_c}
-        ctr = (slice(None), pl.ds(H, TX), pl.ds(H, TY))
-        wcopies = []
         for k, f in enumerate(SLIM_BIG):
-            v = new_slim[f]
-            if v.ndim == 3:
-                out_scr[k][...] = v[:, H:H + TX, H:H + TY]
-                dst = out_refs[k].at[(slice(None), pl.ds(x0 + H, TX),
-                                      pl.ds(y0 + H, TY))]
-            else:
-                out_scr[k][...] = v[H:H + TX, H:H + TY]
-                dst = out_refs[k].at[(pl.ds(x0 + H, TX),
-                                      pl.ds(y0 + H, TY))]
-            c = pltpu.make_async_copy(out_scr[k], dst, out_sems.at[k])
-            c.start()
-            wcopies.append(c)
+            out_refs[k][...] = new_slim[f][..., HX:HX + TX, HY:HY + TY]
 
         # ---- center partial reductions ------------------------------------
-        gate = fields["gate"][:, H:H + TX, H:H + TY]
-        abs_dd = fields["abs_dd"][:, H:H + TX, H:H + TY]
-        tmp = fields["tmp"][:, H:H + TX, H:H + TY]
-        dd_l = fields["dd_local"][:, H:H + TX, H:H + TY]
-        kd = dict(axis=(-2, -1), keepdims=True)   # (9,TX,TY) -> (9,1,1)
+        # reduce ONLY the row axis: (9,TX,TY) -> (9,TY).  A full reduction
+        # would create a rank-1 (9,) intermediate (jnp keepdims lowers to
+        # reduce+reshape) which crashes Mosaic layout inference; the final
+        # TY reduction runs outside the kernel in XLA.
+        gate = fields["gate"][:, HX:HX + TX, HY:HY + TY]
+        abs_dd = fields["abs_dd"][:, HX:HX + TX, HY:HY + TY]
+        tmp = fields["tmp"][:, HX:HX + TX, HY:HY + TY]
+        dd_l = fields["dd_local"][:, HX:HX + TX, HY:HY + TY]
         if p.isAlternateRMS:
             acc = abs_dd if p.serial_rms_mode else abs_dd * abs_dd
-            num = jnp.sum(jnp.where(gate, acc, 0.0), **kd)
-            den = jnp.sum(jnp.where(gate, tmp * tmp, 0.0), **kd)
+            num = jnp.sum(jnp.where(gate, acc, 0.0), axis=-2)
+            den = jnp.sum(jnp.where(gate, tmp * tmp, 0.0), axis=-2)
         else:
-            num = jnp.sum(jnp.where(gate, dd_l * dd_l, 0.0), **kd)
-            den = jnp.sum(gate, **kd).astype(dtype)
-        ddm = jnp.max(jnp.where(gate, dd_l, 0.0), **kd)
-        # partial buffers are whole-(9,nbx,nby) blocks mapped to the same
-        # offset for every program (the TPU grid is sequential, so each
-        # tile writes its own cell without races); keepdims keeps every
-        # intermediate rank>=2 for Mosaic layout inference
-        pr_num[:, pl.ds(ti, 1), pl.ds(tj, 1)] = num
-        pr_den[:, pl.ds(ti, 1), pl.ds(tj, 1)] = den
-        pr_max[:, pl.ds(ti, 1), pl.ds(tj, 1)] = ddm
+            num = jnp.sum(jnp.where(gate, dd_l * dd_l, 0.0), axis=-2)
+            den = jnp.sum(gate, axis=-2).astype(dtype)
+        ddm = jnp.max(jnp.where(gate, dd_l, 0.0), axis=-2)
+        ti = pl.program_id(0)
+        t = ti * nby + tj
+        pr_num[:, pl.ds(t, 1), :] = num[:, None, :]
+        pr_den[:, pl.ds(t, 1), :] = den[:, None, :]
+        pr_max[:, pl.ds(t, 1), :] = ddm[:, None, :]
         solid, is_set, fc, active = node_masks(meta_blk)
-        uns = active[H:H + TX, H:H + TY] \
-            & (out_state.Tg[H:H + TX, H:H + TY] < 0.0)
-        pr_uns[pl.ds(ti, 1), pl.ds(tj, 1)] = \
-            jnp.sum(uns.astype(jnp.int32), **kd)
-
-        for c in wcopies:
-            c.wait()
+        uns = active[HX:HX + TX, HY:HY + TY] \
+            & (out_state.Tg[HX:HX + TX, HY:HY + TY] < 0.0)
+        pr_uns[pl.ds(t, 1), :] = jnp.sum(uns.astype(jnp.int32)[None],
+                                         axis=-2)
 
     # pallas call plumbing --------------------------------------------------
-    def any_spec():
-        return pl.BlockSpec(memory_space=pltpu.ANY)
+    def lead_of(f):
+        return {"S": (9,), "beta": (9,), "Yc": (4,)}.get(f, ())
 
+    def in_spec_for(f, kind):
+        if kind == "slim":
+            lead = lead_of(f)
+        elif kind == "meta":
+            lead = ()
+        else:
+            lead = (9,)
+        if lead:
+            return pl.BlockSpec(lead + (WX, WY),
+                                lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((WX, WY), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    nbt = nbx * nby
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [any_spec() for _ in range(n_in)]
+                + [in_spec_for(f, "slim") for f in SLIM_BIG]
+                + [in_spec_for(f, "meta") for f in META_BIG]
+                + [in_spec_for(None, "src")]
                 + [pl.BlockSpec(memory_space=pltpu.SMEM)
                    for _ in CHEM_FIELDS])
-    out_specs = ([any_spec() for _ in SLIM_BIG]
-                 + [pl.BlockSpec((9, nbx, nby), lambda i, j: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((9, nbx, nby), lambda i, j: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((9, nbx, nby), lambda i, j: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((nbx, nby), lambda i, j: (0, 0),
+
+    def out_spec_for(f):
+        lead = lead_of(f)
+        if lead:
+            return pl.BlockSpec(lead + (TX, TY), lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((TX, TY), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    # whole-array accumulator blocks (constant index_map => the block
+    # persists across the sequential TPU grid; each program writes its own
+    # row with a dynamic store)
+    out_specs = ([out_spec_for(f) for f in SLIM_BIG]
+                 + [pl.BlockSpec((9, nbt, TY), lambda i, j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)] * 3
+                 + [pl.BlockSpec((nbt, TY), lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM)])
 
-    def win_shape(f, kind):
-        if kind == "slim":
-            lead = {"S": (9,), "beta": (9,), "Yc": (4,)}.get(f, ())
-            return lead + (WX, WY)
-        if kind == "meta":
-            return (WX, WY)
-        return (9, WX, WY)     # src
-
-    def win_dtype(f, kind):
-        if kind == "meta":
-            if f in ("CT", "TCT"):
-                return jnp.uint32
-            if f in ("idXl", "idXr", "idYu", "idYd"):
-                return jnp.int8
-        return dtype
-
-    scratch_shapes = (
-        [pltpu.VMEM(win_shape(f, "slim"), dtype) for f in SLIM_BIG]
-        + [pltpu.VMEM(win_shape(f, "meta"), win_dtype(f, "meta"))
-           for f in META_BIG]
-        + [pltpu.VMEM((9, WX, WY), dtype)]
-        + [pltpu.VMEM({"S": (9,), "beta": (9,), "Yc": (4,)}.get(f, ())
-                      + (TX, TY), dtype) for f in SLIM_BIG]
-        + [pltpu.SemaphoreType.DMA((n_in,)),
-           pltpu.SemaphoreType.DMA((len(SLIM_BIG),))])
-
-    XA, YA = Xp + 2 * H, Yp + 2 * H
-
     def out_shapes():
-        shapes = []
-        for f in SLIM_BIG:
-            lead = {"S": (9,), "beta": (9,), "Yc": (4,)}.get(f, ())
-            shapes.append(jax.ShapeDtypeStruct(lead + (XA, YA), dtype))
-        shapes += [jax.ShapeDtypeStruct((9, nbx, nby), dtype),
-                   jax.ShapeDtypeStruct((9, nbx, nby), dtype),
-                   jax.ShapeDtypeStruct((9, nbx, nby), dtype),
-                   jax.ShapeDtypeStruct((nbx, nby), jnp.int32)]
+        shapes = [jax.ShapeDtypeStruct(lead_of(f) + (Xp, Yp), dtype)
+                  for f in SLIM_BIG]
+        shapes += [jax.ShapeDtypeStruct((9, nbt, TY), dtype),
+                   jax.ShapeDtypeStruct((9, nbt, TY), dtype),
+                   jax.ShapeDtypeStruct((9, nbt, TY), dtype),
+                   jax.ShapeDtypeStruct((nbt, TY), jnp.int32)]
         return shapes
 
     fused = pl.pallas_call(
@@ -286,31 +238,28 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes(),
-        scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=(jax.default_backend() == "cpu"))
 
     # ------------------------------------------------------------------
     solid_m, is_set_m, fc_m, active_m = node_masks(meta)
-    active_pad = _pad2(active_m, (-X) % TX, (-Y) % TY, H, fill=False)
 
-    def scan_dt(slim_pad, cfl_scen):
+    def scan_dt(slim, cfl_scen):
         """Global dt reduction from the carried primitives
         (deeps2d_core.cpp:1317-1327 with the fast-path prim lag)."""
         cfl_min = jnp.minimum(jnp.asarray(p.CFL, dtype), cfl_scen)
-        k_new = _safe_div(slim_pad.CP, slim_pad.CP - slim_pad.R, 2.0)
-        aaa = jnp.sqrt(jnp.maximum(k_new * slim_pad.R * slim_pad.Tg, 0.0))
-        dtn = cfl_min * jnp.minimum(p.dx / (aaa + jnp.abs(slim_pad.U)),
-                                    p.dy / (aaa + jnp.abs(slim_pad.V)))
-        dt_new = jnp.minimum(1.0, jnp.min(jnp.where(active_pad, dtn, 1.0)))
+        k_new = _safe_div(slim.CP, slim.CP - slim.R, 2.0)
+        aaa = jnp.sqrt(jnp.maximum(k_new * slim.R * slim.Tg, 0.0))
+        dtn = cfl_min * jnp.minimum(p.dx / (aaa + jnp.abs(slim.U)),
+                                    p.dy / (aaa + jnp.abs(slim.V)))
+        dt_new = jnp.minimum(1.0, jnp.min(jnp.where(active_m, dtn, 1.0)))
         if p.serial_dt_mode:
-            dt_new = jnp.minimum(dt_new, slim_pad.dt)
+            dt_new = jnp.minimum(dt_new, slim.dt)
         return dt_new.astype(dtype)
 
-    def rotated(slim_pad, k):
+    def rotated(slim, k):
         aux_g = aux_at(k)
         aux_p = aux_at(k + 1)
-        dt_k = scan_dt(slim_pad, aux_g.cfl_scen)
+        dt_k = scan_dt(slim, aux_g.cfl_scen)
         scal = jnp.stack([
             dt_k.astype(jnp.float32),
             aux_g.beta_scen.astype(jnp.float32),
@@ -319,11 +268,11 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
             aux_p.beta_scen.astype(jnp.float32),
             aux_p.cfl_scen.astype(jnp.float32),
             aux_p.is_mu_t_iter.astype(jnp.float32)])
-        ins = ([getattr(slim_pad, f) for f in SLIM_BIG]
-               + [meta_pad[f] for f in META_BIG] + [src_pad]
+        ins = ([explode(getattr(slim, f)) for f in SLIM_BIG]
+               + [meta_ex[f] for f in META_BIG] + [src_ex]
                + [getattr(chem, f) for f in CHEM_FIELDS])
         outs = fused(scal, *ins)
-        new_leaves = outs[:len(SLIM_BIG)]
+        new_leaves = [a[..., :X, :Y] for a in outs[:len(SLIM_BIG)]]
         num, den, ddm, uns = outs[len(SLIM_BIG):]
         slim2 = SlimState(**dict(zip(SLIM_BIG, new_leaves)), dt=dt_k)
         nsum = num.sum((1, 2))
@@ -339,30 +288,16 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                 "unstable": uns.sum() > 0}
         return slim2, diag
 
-    def pad_slim(slim):
-        return SlimState(**{f: _pad2(getattr(slim, f), (-X) % TX,
-                                     (-Y) % TY, H) for f in SLIM_BIG},
-                         dt=slim.dt)
-
-    def crop(arr):
-        return arr[..., H:H + X, H:H + Y]
-
-    def unpad_slim(slim_pad):
-        return SlimState(**{f: crop(getattr(slim_pad, f))
-                            for f in SLIM_BIG}, dt=slim_pad.dt)
-
     def chunk(state: SolverState, n_iters: int, start_iter):
         aux0 = aux_at(start_iter)
         S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
                                      "beta": beta_c}))
-        slim_pad = pad_slim(slim)
         if n_iters > 1:
             ks = start_iter + jnp.arange(n_iters - 1)
-            slim_pad, diags = jax.lax.scan(rotated, slim_pad, ks)
+            slim, diags = jax.lax.scan(rotated, slim, ks)
         else:
             diags = None
-        slim = unpad_slim(slim_pad)
         full = expand(slim, p, src_ext)
         out, dt_new, unstable_last = gfc(full, meta, p, chem,
                                          aux_at(start_iter + n_iters - 1))
