@@ -18,8 +18,12 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "2048"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    tile = int(os.environ.get("BENCH_TILE", "128"))
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    tile_s = os.environ.get("BENCH_TILE", "128x256")
+    if "x" in tile_s:
+        tile = tuple(int(v) for v in tile_s.split("x"))
+    else:
+        tile = (int(tile_s), int(tile_s))
 
     import jax
     # persistent compile cache: the solver graph takes minutes to compile
@@ -34,7 +38,12 @@ def main():
     n_chips = len(jax.devices())
     deck = reacting_rans_deck(size, size)
     case = build_case(deck, dtype=dtype)
-    solver = Solver(case, use_pallas=use_pallas, pallas_tile=(tile, tile))
+    if os.environ.get("BENCH_FASTMATH", "1") == "1":
+        import dataclasses
+        case.params = dataclasses.replace(case.params, fast_math=True)
+    fuse = int(os.environ.get("BENCH_FUSE", "4"))
+    solver = Solver(case, use_pallas=use_pallas, pallas_tile=tile,
+                    pallas_fuse=fuse)
 
     # warmup: same static n_iters as the timed call so the compile is reused
     solver.run_iters(iters)

@@ -23,13 +23,9 @@ import jax.numpy as jnp
 from ..config.tables import table_lookup
 from . import flags as fl
 from .state import ChemTables, GridMeta, SolverParams, SolverState
+from .static_ctx import StaticCtx, build_static_ctx, iscond
 
 TURB_INTENSITY = 0.005   # FlowNodeTurbulence2D::I (hyper_flow_turbulence.hpp:135)
-
-
-def iscond(ct, flag):
-    f = jnp.uint32(flag & 0xFFFFFFFF)
-    return (ct & f) == f
 
 
 def _safe_div(a, b, fallback=0.0):
@@ -52,7 +48,8 @@ def _planes(arr, n):
 
 
 def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
-              is_mu_t, is_init: bool, j0=0) -> SolverState:
+              is_mu_t, is_init: bool, j0=0, ctx: StaticCtx = None
+              ) -> SolverState:
     """FillNode2D over the whole grid.
 
     ``is_mu_t`` is a per-node bool mask (the run loop passes 1 for NT_FC
@@ -61,7 +58,8 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     selecting the initialization variant (compiled separately).
     """
     p = params
-    ct, tct = meta.CT, meta.TCT
+    if ctx is None:
+        ctx = build_static_ctx(meta, p, j0)
     dt = state.S.dtype
 
     ne = fl.NUM_EQ
@@ -71,24 +69,32 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     f_l = _planes(state.F, ne)
     src = _planes(state.Src, ne)
     rho = s[fl.i2d_Rho]
-    solid = iscond(ct, fl.CT_SOLID_2D)
+    solid = ctx.solid
 
     k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
     guard = (~solid) & (rho != 0) & (k_cpcv >= 1)
     rho_s = jnp.where(rho != 0, rho, 1)
+    if p.fast_math:
+        r_rho = 1.0 / rho_s
+
+        def div_rho(a):
+            return a * r_rho
+    else:
+        def div_rho(a):
+            return a / rho_s
 
     # --- U/V with per-equation Dirichlet enforcement (hpp:413-421) --------
-    u_const = iscond(ct, fl.CT_U_CONST_2D)
-    v_const = iscond(ct, fl.CT_V_CONST_2D)
-    U = jnp.where(u_const, state.U, s[fl.i2d_RhoU] / rho_s)
-    V = jnp.where(v_const, state.V, s[fl.i2d_RhoV] / rho_s)
+    u_const = ctx.u_const
+    v_const = ctx.v_const
+    U = jnp.where(u_const, state.U, div_rho(s[fl.i2d_RhoU]))
+    V = jnp.where(v_const, state.V, div_rho(s[fl.i2d_RhoV]))
     s[fl.i2d_RhoU] = jnp.where(u_const, U * rho, s[fl.i2d_RhoU])
     s[fl.i2d_RhoV] = jnp.where(v_const, V * rho, s[fl.i2d_RhoV])
 
     mu_t = state.mu_t
     lam_t = state.lam_t
 
-    turb_on = tct != 0
+    turb_on = ctx.turb_on
     if p.sm == fl.SM_NS:
         if is_init:
             mu_t = jnp.where(turb_on, 5.0 * state.mu, jnp.zeros_like(mu_t))
@@ -96,7 +102,7 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
         # Turbulence models (TurbModRANS2D) see the Dirichlet-enforced U,V.
         mu_t, lam_t = _turb_mod_rans(
             state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
-            is_mu_t, is_init, j0)
+            is_mu_t, is_init, ctx)
 
     # --- formation enthalpy sum (hpp:438-445) -----------------------------
     Hu = [jnp.asarray(h, dt) for h in p.Hu]
@@ -108,33 +114,37 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     h_form = h_form + Hu[fl.NUM_COMPONENTS] * rho_air
 
     # --- wall handling (hpp:447-488) --------------------------------------
-    wall_law = iscond(ct, fl.CT_WALL_LAW_2D)
-    wall_ns = iscond(ct, fl.CT_WALL_NO_SLIP_2D) & ~wall_law
-    # WALL_LAW: project momentum onto the wall direction
-    w_mag = jnp.sqrt(U * U + V * V + 1.e-30)
-    s[fl.i2d_RhoU] = jnp.where(wall_law, w_mag * meta.BGX, s[fl.i2d_RhoU])
-    s[fl.i2d_RhoV] = jnp.where(wall_law, w_mag * meta.BGY, s[fl.i2d_RhoV])
-    U = jnp.where(wall_law, s[fl.i2d_RhoU] / rho_s, U)
-    V = jnp.where(wall_law, s[fl.i2d_RhoV] / rho_s, V)
-    # WALL_NO_SLIP: optional moving-wall sources, then gas moves with wall
-    U_pre = jnp.where(wall_ns, s[fl.i2d_RhoU] / rho_s, U)
-    V_pre = jnp.where(wall_ns, s[fl.i2d_RhoV] / rho_s, V)
+    wall_law = ctx.wall_law
+    wall_ns = ctx.wall_ns
     zero = jnp.zeros_like(rho)
     src_add = [zero] * ne
-    if p.isSrcAdd:
-        sa_rho = (meta.BGX * (U_pre - meta.Uw) * rho / p.dx
-                  + meta.BGY * (V_pre - meta.Vw) * rho / p.dy)
-        src_add[fl.i2d_Rho] = jnp.where(wall_ns, sa_rho, 0.0)
-        src_add[fl.i2d_RhoU] = jnp.where(
-            wall_ns, meta.BGX * (U_pre - meta.Uw) * rho, 0.0)
-        src_add[fl.i2d_RhoV] = jnp.where(
-            wall_ns, meta.BGY * (V_pre - meta.Vw) * rho, 0.0)
-        for c in range(fl.NUM_COMPONENTS):
-            src_add[4 + c] = jnp.where(wall_ns, sa_rho * state.Yc[c], 0.0)
-    U = jnp.where(wall_ns, meta.Uw, U)
-    V = jnp.where(wall_ns, meta.Vw, V)
-    s[fl.i2d_RhoU] = jnp.where(wall_ns, U * rho, s[fl.i2d_RhoU])
-    s[fl.i2d_RhoV] = jnp.where(wall_ns, V * rho, s[fl.i2d_RhoV])
+    if p.has_walls:
+        # WALL_LAW: project momentum onto the wall direction
+        w_mag = jnp.sqrt(U * U + V * V + 1.e-30)
+        s[fl.i2d_RhoU] = jnp.where(wall_law, w_mag * meta.BGX,
+                                   s[fl.i2d_RhoU])
+        s[fl.i2d_RhoV] = jnp.where(wall_law, w_mag * meta.BGY,
+                                   s[fl.i2d_RhoV])
+        U = jnp.where(wall_law, div_rho(s[fl.i2d_RhoU]), U)
+        V = jnp.where(wall_law, div_rho(s[fl.i2d_RhoV]), V)
+        # WALL_NO_SLIP: optional moving-wall sources, gas moves with wall
+        U_pre = jnp.where(wall_ns, div_rho(s[fl.i2d_RhoU]), U)
+        V_pre = jnp.where(wall_ns, div_rho(s[fl.i2d_RhoV]), V)
+        if p.isSrcAdd:
+            sa_rho = (meta.BGX * (U_pre - meta.Uw) * rho / p.dx
+                      + meta.BGY * (V_pre - meta.Vw) * rho / p.dy)
+            src_add[fl.i2d_Rho] = jnp.where(wall_ns, sa_rho, 0.0)
+            src_add[fl.i2d_RhoU] = jnp.where(
+                wall_ns, meta.BGX * (U_pre - meta.Uw) * rho, 0.0)
+            src_add[fl.i2d_RhoV] = jnp.where(
+                wall_ns, meta.BGY * (V_pre - meta.Vw) * rho, 0.0)
+            for c in range(fl.NUM_COMPONENTS):
+                src_add[4 + c] = jnp.where(wall_ns, sa_rho * state.Yc[c],
+                                           0.0)
+        U = jnp.where(wall_ns, meta.Uw, U)
+        V = jnp.where(wall_ns, meta.Vw, V)
+        s[fl.i2d_RhoU] = jnp.where(wall_ns, U * rho, s[fl.i2d_RhoU])
+        s[fl.i2d_RhoV] = jnp.where(wall_ns, V * rho, s[fl.i2d_RhoV])
 
     # --- EOS (hpp:490-492) -------------------------------------------------
     p_new = (k_cpcv - 1.0) * (s[fl.i2d_RhoE]
@@ -142,15 +152,11 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     Tg_new = _safe_div(p_new, state.R * rho_s)
 
     # --- effective transport & viscous/convective fluxes -------------------
-    jj = j0 + jax.lax.broadcasted_iota(
-        jnp.int32, (state.S.shape[-2], state.S.shape[-1]), 1).astype(dt)
-    y_r = (jj + 0.5) * p.dy                  # node radius (x,y init: 3877)
+    y_r = ctx.y_r                            # node radius (x,y init: 3877)
 
     if p.sm == fl.SM_NS:
         lam_t = mu_t * state.CP
-        wall = wall_ns | wall_law
-        sig = jnp.where(wall, jnp.asarray(p.SigW, dt),
-                        jnp.asarray(p.SigF, dt))
+        sig = ctx.sig
         mu_eff = jnp.where(is_mu_t,
                            jnp.maximum(0.0, state.mu + mu_t * sig), state.mu)
         lam_eff = jnp.where(is_mu_t,
@@ -242,234 +248,249 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
 
 
 def _turb_mod_rans(state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
-                   is_mu_t, is_init, j0=0):
+                   is_mu_t, is_init, ctx: StaticCtx):
     """TurbModRANS2D (hyper_flow_node.hpp:601-957) over the grid.
 
     Mutates the plane lists (s, a_l, b_l, f_l, src) in place for the
     turbulence equations (model-masked); returns (mu_t, lam_t).
     Model selection per node by TCT bits (the reference's if/else-if chain);
-    the extended-model variant ``tem`` is a static parameter.
+    the extended-model variant ``tem`` is a static parameter.  Model
+    families absent from ``p.models`` (no node of the case carries their
+    TCT bit — build_case computes this) are skipped statically.
     """
-    tct, ct = meta.TCT, meta.CT
     dt = s[0].dtype
     rho = s[fl.i2d_Rho]
     rho_s = jnp.where(rho != 0, rho, 1)
     tem = p.tem
 
-    l_base = jnp.maximum(meta.l_min, min(p.dx, p.dy)) * 0.41
+    l_base = ctx.l_base
+    m_prandtl = ctx.m_prandtl
+    m_keps = ctx.m_keps
+    m_sa = ctx.m_sa
+    m_smag = ctx.m_smag
 
-    m_prandtl = iscond(tct, fl.TCT_Prandtl_Model_2D)
-    m_keps = iscond(tct, fl.TCT_k_eps_Model_2D) & ~m_prandtl
-    m_sa = (iscond(tct, fl.TCT_Spalart_Allmaras_Model_2D)
-            & ~m_prandtl & ~m_keps)
-    m_smag = (iscond(tct, fl.TCT_Smagorinsky_Model_2D)
-              & ~m_prandtl & ~m_keps & ~m_sa)
-    any_keps = True   # masks are data-dependent; compile all paths
+    has_prandtl = "prandtl" in p.models
+    has_keps = "keps" in p.models
+    has_sa = "sa" in p.models
+    has_smag = "smag" in p.models
 
-    grad_mag = jnp.maximum(jnp.abs(state.dUdy), jnp.abs(state.dVdx))
+    if has_prandtl or has_keps or has_sa or has_smag:
+        grad_mag = jnp.maximum(jnp.abs(state.dUdy), jnp.abs(state.dVdx))
 
     # ---------------- Prandtl zero-equation family (612-638) --------------
-    n_0 = meta.l_min * 0.41
-    if tem == fl.TEM_vanDriest:
-        l_p = n_0 * (1.0 - jnp.exp(-state.y_plus / 26.0))
-    elif tem == fl.TEM_Escudier and p.delta_bl > 0:
-        l_p = jnp.minimum(n_0, 0.09 * p.delta_bl)
-    elif tem == fl.TEM_Klebanoff and p.delta_bl > 0:
-        l_p = n_0 / jnp.sqrt(1.0 + 5.5 * (meta.l_min / p.delta_bl) ** 6)
-    else:
-        l_p = n_0
-    mu_t = jnp.where(m_prandtl, rho * l_p * l_p * grad_mag, mu_t)
-    lam_t = jnp.where(m_prandtl, mu_t * state.CP, lam_t)
+    if has_prandtl:
+        n_0 = ctx.n_0
+        if tem == fl.TEM_vanDriest:
+            l_p = n_0 * (1.0 - jnp.exp(-state.y_plus / 26.0))
+        elif tem == fl.TEM_Escudier and p.delta_bl > 0:
+            l_p = jnp.minimum(n_0, 0.09 * p.delta_bl)
+        elif tem == fl.TEM_Klebanoff and p.delta_bl > 0:
+            l_p = n_0 / jnp.sqrt(1.0 + 5.5 * (meta.l_min / p.delta_bl) ** 6)
+        else:
+            l_p = n_0
+        mu_t = jnp.where(m_prandtl, rho * l_p * l_p * grad_mag, mu_t)
+        lam_t = jnp.where(m_prandtl, mu_t * state.CP, lam_t)
 
     # ---------------- k-eps family (640-820) -------------------------------
-    Sk = s[fl.i2d_k]
-    Se = s[fl.i2d_eps]
-    tmp1 = state.dUdy + state.dVdx
-    tmp2 = rho * l_base
-    tmp3 = state.dUdx ** 2 + state.dVdy ** 2
-    if p.ft == fl.FT_AXISYMMETRIC:
-        jj = j0 + jax.lax.broadcasted_iota(
-            jnp.int32, (s[0].shape[-2], s[0].shape[-1]), 1).astype(dt)
-        y_r = (jj + 0.5) * p.dy
-        tmp3 = tmp3 + U / y_r
-    mu_t_ke = jnp.where(mu_t == 0, rho * l_base * l_base * grad_mag, mu_t)
-    G = mu_t_ke * (tmp1 * tmp1 + 2.0 * tmp3)
-    Rt = jnp.where((Se != 0) & (state.mu != 0),
-                   _safe_div(Sk * Sk,
-                             Se * jnp.where(state.mu != 0, state.mu, 1)),
-                   0.0)
-
-    f1 = 1.0
-    f2 = 1.0
-    f_mu = jnp.ones_like(rho)
-    L_k = jnp.zeros_like(rho)
-    L_eps = jnp.zeros_like(rho)
-    Mt = jnp.zeros_like(rho)
-    C1eps, C2eps, C_mu = 1.44, 1.92, 0.09
-    sig_k, sig_eps = 1.0, 1.3
-    if tem == fl.TEM_k_eps_Chien:
-        C1eps, C2eps = 1.35, 1.8
-        f2 = 1.0 - 0.4 / 1.8 * jnp.exp(-(Rt * Rt) / 36.0)
-        f_mu = 1.0 - jnp.exp(-0.0115 * state.y_plus)
-        tmp2_s = jnp.where(tmp2 != 0, tmp2, 1)
-        L_k = -2.0 * state.mu * Sk / (tmp2_s * tmp2_s)
-        L_eps = (-2.0 * state.mu * Se / (tmp2_s * tmp2_s)
-                 * jnp.exp(-state.y_plus / 2.0))
-        k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
-        Mt = 1.5 * _safe_div(Sk, k_cpcv * state.p)
-    elif tem == fl.TEM_k_eps_JL:
-        f_mu = jnp.exp(-2.5 / (1.0 + Rt / 50.0))
-    elif tem == fl.TEM_k_eps_LSY:
-        f_mu = jnp.exp(-3.4 / (1.0 + Rt / 50.0) / (1.0 + Rt / 50.0))
-    elif tem == fl.TEM_k_eps_RNG:
-        nu_0 = 4.38
-        nu_r = jnp.where(Se != 0.0,
-                         jnp.sqrt(jnp.maximum(G, 0.0)) * _safe_div(Sk, Se),
-                         0.0)
-        C_mu = 0.0845
-        C1eps = 1.42
-        C2eps = (1.68 + C_mu * nu_r ** 3 * (1.0 - nu_r / nu_0)
-                 / (1.0 + 0.012 * nu_r ** 3))
-        sig_k = sig_eps = 0.7194
-
-    w_mag = jnp.sqrt(U * U + V * V + 1.e-30)
-    tmpI = TURB_INTENSITY * w_mag
-    k_init = 1.5 * tmpI * tmpI * rho
-    l_s = jnp.where(l_base != 0, l_base, 1)
-
-    def eps_of_k(sk):
-        return (C_mu ** 0.75
-                * jnp.maximum(_safe_div(sk, rho_s), 0.0) ** 1.5 / l_s)
-
-    if is_init:
-        Sk = jnp.where(m_keps, k_init, Sk)
-        Se = jnp.where(m_keps, eps_of_k(Sk), Se)
-        mu_t_new = jnp.abs(C_mu * f_mu * _safe_div(Sk * Sk, Se))
-        mu_t_ke = jnp.where(Se != 0, mu_t_new, mu_t_ke)
-
-    kconst = iscond(tct, fl.TCT_k_CONST_2D)
-    econst = iscond(tct, fl.TCT_eps_CONST_2D)
-    ewall = iscond(tct, fl.TCT_eps_Cmk2kXn_WALL_2D)
-    Sk = jnp.where(m_keps & kconst, k_init, Sk)
-    Se = jnp.where(m_keps & (econst | ewall), eps_of_k(Sk), Se)
-
-    nu_t = jnp.abs(C_mu * f_mu * _safe_div(Sk * Sk, Se))
-    mu_t_ke = jnp.where(is_mu_t & (Se != 0),
-                        jnp.minimum(nu_t, mu_t_ke), mu_t_ke)
-
-    if not is_init:
-        rx_k = (state.mu + mu_t_ke / sig_k) * state.dkdx
-        rx_e = (state.mu + mu_t_ke / sig_eps) * state.depsdx
-        ry_k = (state.mu + mu_t_ke / sig_k) * state.dkdy
-        ry_e = (state.mu + mu_t_ke / sig_eps) * state.depsdy
-        a_l[fl.i2d_k] = jnp.where(m_keps, Sk * U - rx_k, a_l[fl.i2d_k])
-        a_l[fl.i2d_eps] = jnp.where(m_keps, Se * U - rx_e, a_l[fl.i2d_eps])
-        b_l[fl.i2d_k] = jnp.where(m_keps, Sk * V - ry_k, b_l[fl.i2d_k])
-        b_l[fl.i2d_eps] = jnp.where(m_keps, Se * V - ry_e, b_l[fl.i2d_eps])
-        src_k = jnp.where((Sk != 0) & ~kconst,
-                          G - Se * (1.0 + Mt) + L_k * rho, src[fl.i2d_k])
-        src_e = jnp.where(
-            (Sk != 0) & ~econst,
-            C1eps * f1 * _safe_div(Se, Sk) * G
-            - C2eps * f2 * _safe_div(Se * Se, Sk) + L_eps * rho,
-            src[fl.i2d_eps])
-        src[fl.i2d_k] = jnp.where(m_keps, src_k, src[fl.i2d_k])
-        src[fl.i2d_eps] = jnp.where(m_keps, src_e, src[fl.i2d_eps])
-        # axisymmetric add-on (hpp:241-252)
+    if has_keps:
+        Sk = s[fl.i2d_k]
+        Se = s[fl.i2d_eps]
+        tmp1 = state.dUdy + state.dVdx
+        tmp2 = rho * l_base
+        tmp3 = state.dUdx ** 2 + state.dVdy ** 2
         if p.ft == fl.FT_AXISYMMETRIC:
-            f_k = (state.mu + mu_t_ke) * state.dkdy
-            f_e = (state.mu + mu_t_ke / 1.3) * state.depsdy
-            f_l[fl.i2d_k] = jnp.where(m_keps, f_k, f_l[fl.i2d_k])
-            f_l[fl.i2d_eps] = jnp.where(m_keps, f_e, f_l[fl.i2d_eps])
-    else:
-        f_l[fl.i2d_k] = jnp.where(m_keps, 0.0, f_l[fl.i2d_k])
-        f_l[fl.i2d_eps] = jnp.where(m_keps, 0.0, f_l[fl.i2d_eps])
-        src[fl.i2d_k] = jnp.where(m_keps, 0.0, src[fl.i2d_k])
-        src[fl.i2d_eps] = jnp.where(m_keps, 0.0, src[fl.i2d_eps])
+            tmp3 = tmp3 + U / ctx.y_r
+        mu_t_ke = jnp.where(mu_t == 0, rho * l_base * l_base * grad_mag,
+                            mu_t)
+        G = mu_t_ke * (tmp1 * tmp1 + 2.0 * tmp3)
+        Rt = jnp.where((Se != 0) & (state.mu != 0),
+                       _safe_div(Sk * Sk,
+                                 Se * jnp.where(state.mu != 0, state.mu,
+                                                1)),
+                       0.0)
 
-    s[fl.i2d_k] = jnp.where(m_keps, Sk, s[fl.i2d_k])
-    s[fl.i2d_eps] = jnp.where(m_keps, Se, s[fl.i2d_eps])
-    mu_t = jnp.where(m_keps, mu_t_ke, mu_t)
+        f1 = 1.0
+        f2 = 1.0
+        f_mu = jnp.ones_like(rho)
+        L_k = jnp.zeros_like(rho)
+        L_eps = jnp.zeros_like(rho)
+        Mt = jnp.zeros_like(rho)
+        C1eps, C2eps, C_mu = 1.44, 1.92, 0.09
+        sig_k, sig_eps = 1.0, 1.3
+        if tem == fl.TEM_k_eps_Chien:
+            C1eps, C2eps = 1.35, 1.8
+            f2 = 1.0 - 0.4 / 1.8 * jnp.exp(-(Rt * Rt) / 36.0)
+            f_mu = 1.0 - jnp.exp(-0.0115 * state.y_plus)
+            tmp2_s = jnp.where(tmp2 != 0, tmp2, 1)
+            L_k = -2.0 * state.mu * Sk / (tmp2_s * tmp2_s)
+            L_eps = (-2.0 * state.mu * Se / (tmp2_s * tmp2_s)
+                     * jnp.exp(-state.y_plus / 2.0))
+            k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
+            Mt = 1.5 * _safe_div(Sk, k_cpcv * state.p)
+        elif tem == fl.TEM_k_eps_JL:
+            f_mu = jnp.exp(-2.5 / (1.0 + Rt / 50.0))
+        elif tem == fl.TEM_k_eps_LSY:
+            f_mu = jnp.exp(-3.4 / (1.0 + Rt / 50.0) / (1.0 + Rt / 50.0))
+        elif tem == fl.TEM_k_eps_RNG:
+            nu_0 = 4.38
+            nu_r = jnp.where(Se != 0.0,
+                             jnp.sqrt(jnp.maximum(G, 0.0))
+                             * _safe_div(Sk, Se), 0.0)
+            C_mu = 0.0845
+            C1eps = 1.42
+            C2eps = (1.68 + C_mu * nu_r ** 3 * (1.0 - nu_r / nu_0)
+                     / (1.0 + 0.012 * nu_r ** 3))
+            sig_k = sig_eps = 0.7194
+
+        w_mag = jnp.sqrt(U * U + V * V + 1.e-30)
+        tmpI = TURB_INTENSITY * w_mag
+        k_init = 1.5 * tmpI * tmpI * rho
+        l_s = ctx.l_s
+
+        def eps_of_k(sk):
+            return (C_mu ** 0.75
+                    * jnp.maximum(_safe_div(sk, rho_s), 0.0) ** 1.5 / l_s)
+
+        if is_init:
+            Sk = jnp.where(m_keps, k_init, Sk)
+            Se = jnp.where(m_keps, eps_of_k(Sk), Se)
+            mu_t_new = jnp.abs(C_mu * f_mu * _safe_div(Sk * Sk, Se))
+            mu_t_ke = jnp.where(Se != 0, mu_t_new, mu_t_ke)
+
+        kconst = ctx.kconst
+        econst = ctx.econst
+        Sk = jnp.where(m_keps & kconst, k_init, Sk)
+        Se = jnp.where(m_keps & (econst | ctx.ewall), eps_of_k(Sk), Se)
+
+        nu_t = jnp.abs(C_mu * f_mu * _safe_div(Sk * Sk, Se))
+        mu_t_ke = jnp.where(is_mu_t & (Se != 0),
+                            jnp.minimum(nu_t, mu_t_ke), mu_t_ke)
+
+        if not is_init:
+            if p.fast_math:
+                mt_sk = mu_t_ke * (1.0 / sig_k)
+                mt_se = mu_t_ke * (1.0 / sig_eps)
+            else:
+                mt_sk = mu_t_ke / sig_k
+                mt_se = mu_t_ke / sig_eps
+            rx_k = (state.mu + mt_sk) * state.dkdx
+            rx_e = (state.mu + mt_se) * state.depsdx
+            ry_k = (state.mu + mt_sk) * state.dkdy
+            ry_e = (state.mu + mt_se) * state.depsdy
+            a_l[fl.i2d_k] = jnp.where(m_keps, Sk * U - rx_k, a_l[fl.i2d_k])
+            a_l[fl.i2d_eps] = jnp.where(m_keps, Se * U - rx_e,
+                                        a_l[fl.i2d_eps])
+            b_l[fl.i2d_k] = jnp.where(m_keps, Sk * V - ry_k, b_l[fl.i2d_k])
+            b_l[fl.i2d_eps] = jnp.where(m_keps, Se * V - ry_e,
+                                        b_l[fl.i2d_eps])
+            src_k = jnp.where((Sk != 0) & ~kconst,
+                              G - Se * (1.0 + Mt) + L_k * rho,
+                              src[fl.i2d_k])
+            src_e = jnp.where(
+                (Sk != 0) & ~econst,
+                C1eps * f1 * _safe_div(Se, Sk) * G
+                - C2eps * f2 * _safe_div(Se * Se, Sk) + L_eps * rho,
+                src[fl.i2d_eps])
+            src[fl.i2d_k] = jnp.where(m_keps, src_k, src[fl.i2d_k])
+            src[fl.i2d_eps] = jnp.where(m_keps, src_e, src[fl.i2d_eps])
+            # axisymmetric add-on (hpp:241-252)
+            if p.ft == fl.FT_AXISYMMETRIC:
+                f_k = (state.mu + mu_t_ke) * state.dkdy
+                f_e = (state.mu + mu_t_ke / 1.3) * state.depsdy
+                f_l[fl.i2d_k] = jnp.where(m_keps, f_k, f_l[fl.i2d_k])
+                f_l[fl.i2d_eps] = jnp.where(m_keps, f_e, f_l[fl.i2d_eps])
+        else:
+            f_l[fl.i2d_k] = jnp.where(m_keps, 0.0, f_l[fl.i2d_k])
+            f_l[fl.i2d_eps] = jnp.where(m_keps, 0.0, f_l[fl.i2d_eps])
+            src[fl.i2d_k] = jnp.where(m_keps, 0.0, src[fl.i2d_k])
+            src[fl.i2d_eps] = jnp.where(m_keps, 0.0, src[fl.i2d_eps])
+
+        s[fl.i2d_k] = jnp.where(m_keps, Sk, s[fl.i2d_k])
+        s[fl.i2d_eps] = jnp.where(m_keps, Se, s[fl.i2d_eps])
+        mu_t = jnp.where(m_keps, mu_t_ke, mu_t)
 
     # ---------------- Spalart-Allmaras (822-917) ---------------------------
-    Snu = s[fl.i2d_nu_t]
-    wall = (iscond(ct, fl.CT_WALL_NO_SLIP_2D)
-            | iscond(ct, fl.CT_WALL_LAW_2D)
-            | iscond(tct, fl.TCT_nu_t_CONST_2D))
-    fc = iscond(ct, fl.NT_FC_2D)
-    nu = state.mu / rho_s
-    if is_init:
-        Snu_new = nu / 100.0
-        full = jnp.zeros_like(wall)
-    else:
-        full = ~wall & ~fc
-        Snu_new = jnp.where(wall, 0.0,
-                            jnp.where(fc, nu * TURB_INTENSITY, Snu))
-    Cb1, Cb2, sig_sa = 0.1355, 0.622, 2.0 / 3.0
-    kk = 0.41
-    Cw1 = Cb1 / (kk * kk) + (1 + Cb2) / sig_sa
-    Cw2, Cw3, Cv1 = 0.3, 2.0, 7.1
-    Ct2, Ct4, C5 = 2.0, 0.5, 3.5
-    k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
-    a_sound2 = k_cpcv * state.R * state.Tg
-    ksi = _safe_div(Snu, nu)
-    fv1_full = ksi ** 3 / (ksi ** 3 + Cv1 ** 3)
-    fv2 = 1.0 - ksi / (1.0 + ksi * fv1_full)
-    Wxy = 0.5 * (state.dVdx - state.dUdy)
-    Omega = jnp.sqrt(2.0 * Wxy * Wxy)
-    l_min_s = jnp.where(meta.l_min != 0, meta.l_min, 1)
-    S_hat = Omega + Snu / (kk * kk * l_min_s * l_min_s) * fv2
-    S_hat = jnp.maximum(S_hat, 0.3 * Omega)
-    S_hat_s = jnp.where(S_hat != 0, S_hat, 1)
-    r_sa = jnp.minimum(Snu / (S_hat_s * kk * kk * l_min_s * l_min_s), 10.0)
-    g_sa = r_sa + Cw2 * (r_sa ** 6 - r_sa)
-    g_s = jnp.where(g_sa != 0, g_sa, 1)
-    fw = g_sa * ((1.0 + Cw3 ** 6) / (g_s ** 6 + Cw3 ** 6)) ** (1.0 / 6.0)
-    ft2 = Ct2 * jnp.exp(-Ct4 * ksi * ksi)
-    nu_hat = _safe_div(mu_t, rho_s * jnp.where(fv1_full != 0, fv1_full, 1))
-    div_nu = state.dkdx + state.dkdy
-    rx_nu = (nu + Snu) * state.dkdx / sig_sa
-    ry_nu = (nu + Snu) * state.dkdy / sig_sa
-    src_nu = (Cb1 * (1.0 - ft2) * S_hat * Snu
-              - (Cw1 * fw - Cb1 / (kk * kk) * ft2) * (Snu / l_min_s) ** 2
-              + (Cb2 * div_nu * div_nu) / sig_sa
-              - C5 * nu_hat * nu_hat
-              * _safe_div(state.dUdy * state.dVdx, a_sound2))
-    if not is_init:
-        a_l[fl.i2d_nu_t] = jnp.where(m_sa & full, Snu * U - rx_nu,
-                                     a_l[fl.i2d_nu_t])
-        b_l[fl.i2d_nu_t] = jnp.where(m_sa & full, Snu * V - ry_nu,
-                                     b_l[fl.i2d_nu_t])
-        src[fl.i2d_nu_t] = jnp.where(m_sa & full, src_nu,
-                                     src[fl.i2d_nu_t])
-        # axisym add-on for SA (hpp:246-247)
-        if p.ft == fl.FT_AXISYMMETRIC:
-            f_nu = (nu + Snu) * state.dkdy
-            f_l[fl.i2d_nu_t] = jnp.where(m_sa, f_nu, f_l[fl.i2d_nu_t])
-    else:
-        f_l[fl.i2d_nu_t] = jnp.where(m_sa, 0.0, f_l[fl.i2d_nu_t])
-        src[fl.i2d_nu_t] = jnp.where(m_sa, 0.0, src[fl.i2d_nu_t])
-    s[fl.i2d_nu_t] = jnp.where(m_sa, Snu_new, s[fl.i2d_nu_t])
-    fv1_eff = jnp.where(full, fv1_full, 1.0)
-    mu_t_sa = jnp.maximum(0.0, rho * s[fl.i2d_nu_t] * fv1_eff)
-    mu_t = jnp.where(m_sa & is_mu_t, mu_t_sa, mu_t)
-    lam_t = jnp.where(m_sa & is_mu_t, mu_t * state.CP, lam_t)
+    if has_sa:
+        Snu = s[fl.i2d_nu_t]
+        wall = ctx.sa_bc
+        fc = ctx.fc
+        nu = state.mu / rho_s
+        if is_init:
+            Snu_new = nu / 100.0
+            full = jnp.zeros_like(wall)
+        else:
+            full = ~wall & ~fc
+            Snu_new = jnp.where(wall, 0.0,
+                                jnp.where(fc, nu * TURB_INTENSITY, Snu))
+        Cb1, Cb2, sig_sa = 0.1355, 0.622, 2.0 / 3.0
+        kk = 0.41
+        Cw1 = Cb1 / (kk * kk) + (1 + Cb2) / sig_sa
+        Cw2, Cw3, Cv1 = 0.3, 2.0, 7.1
+        Ct2, Ct4, C5 = 2.0, 0.5, 3.5
+        k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
+        a_sound2 = k_cpcv * state.R * state.Tg
+        ksi = _safe_div(Snu, nu)
+        fv1_full = ksi ** 3 / (ksi ** 3 + Cv1 ** 3)
+        fv2 = 1.0 - ksi / (1.0 + ksi * fv1_full)
+        Wxy = 0.5 * (state.dVdx - state.dUdy)
+        Omega = jnp.sqrt(2.0 * Wxy * Wxy)
+        l_min_s = ctx.l_min_s
+        S_hat = Omega + Snu / (kk * kk * l_min_s * l_min_s) * fv2
+        S_hat = jnp.maximum(S_hat, 0.3 * Omega)
+        S_hat_s = jnp.where(S_hat != 0, S_hat, 1)
+        r_sa = jnp.minimum(Snu / (S_hat_s * kk * kk * l_min_s * l_min_s),
+                           10.0)
+        g_sa = r_sa + Cw2 * (r_sa ** 6 - r_sa)
+        g_s = jnp.where(g_sa != 0, g_sa, 1)
+        fw = g_sa * ((1.0 + Cw3 ** 6) / (g_s ** 6 + Cw3 ** 6)) ** (1.0 / 6.0)
+        ft2 = Ct2 * jnp.exp(-Ct4 * ksi * ksi)
+        nu_hat = _safe_div(mu_t,
+                           rho_s * jnp.where(fv1_full != 0, fv1_full, 1))
+        div_nu = state.dkdx + state.dkdy
+        rx_nu = (nu + Snu) * state.dkdx / sig_sa
+        ry_nu = (nu + Snu) * state.dkdy / sig_sa
+        src_nu = (Cb1 * (1.0 - ft2) * S_hat * Snu
+                  - (Cw1 * fw - Cb1 / (kk * kk) * ft2)
+                  * (Snu / l_min_s) ** 2
+                  + (Cb2 * div_nu * div_nu) / sig_sa
+                  - C5 * nu_hat * nu_hat
+                  * _safe_div(state.dUdy * state.dVdx, a_sound2))
+        if not is_init:
+            a_l[fl.i2d_nu_t] = jnp.where(m_sa & full, Snu * U - rx_nu,
+                                         a_l[fl.i2d_nu_t])
+            b_l[fl.i2d_nu_t] = jnp.where(m_sa & full, Snu * V - ry_nu,
+                                         b_l[fl.i2d_nu_t])
+            src[fl.i2d_nu_t] = jnp.where(m_sa & full, src_nu,
+                                         src[fl.i2d_nu_t])
+            # axisym add-on for SA (hpp:246-247)
+            if p.ft == fl.FT_AXISYMMETRIC:
+                f_nu = (nu + Snu) * state.dkdy
+                f_l[fl.i2d_nu_t] = jnp.where(m_sa, f_nu, f_l[fl.i2d_nu_t])
+        else:
+            f_l[fl.i2d_nu_t] = jnp.where(m_sa, 0.0, f_l[fl.i2d_nu_t])
+            src[fl.i2d_nu_t] = jnp.where(m_sa, 0.0, src[fl.i2d_nu_t])
+        s[fl.i2d_nu_t] = jnp.where(m_sa, Snu_new, s[fl.i2d_nu_t])
+        fv1_eff = jnp.where(full, fv1_full, 1.0)
+        mu_t_sa = jnp.maximum(0.0, rho * s[fl.i2d_nu_t] * fv1_eff)
+        mu_t = jnp.where(m_sa & is_mu_t, mu_t_sa, mu_t)
+        lam_t = jnp.where(m_sa & is_mu_t, mu_t * state.CP, lam_t)
 
     # ---------------- Smagorinsky LES (927-956) ----------------------------
-    Cs = 0.1
-    delta_les = (p.dx * p.dy) ** 0.5
-    Wxy_s = 0.5 * (state.dVdx - state.dUdy)
-    Omega_s = jnp.sqrt(2.0 * Wxy_s * Wxy_s)
-    mu_t_sm = jnp.maximum(0.0, rho * (Cs * delta_les) ** 2 * Omega_s)
-    mu_t = jnp.where(m_smag & is_mu_t, mu_t_sm, mu_t)
-    lam_t = jnp.where(m_smag & is_mu_t, mu_t * state.CP, lam_t)
+    if has_smag:
+        Cs = 0.1
+        delta_les = (p.dx * p.dy) ** 0.5
+        Wxy_s = 0.5 * (state.dVdx - state.dUdy)
+        Omega_s = jnp.sqrt(2.0 * Wxy_s * Wxy_s)
+        mu_t_sm = jnp.maximum(0.0, rho * (Cs * delta_les) ** 2 * Omega_s)
+        mu_t = jnp.where(m_smag & is_mu_t, mu_t_sm, mu_t)
+        lam_t = jnp.where(m_smag & is_mu_t, mu_t * state.CP, lam_t)
 
     return mu_t, lam_t
 
 
 def calc_chemical_reactions(state: SolverState, meta: GridMeta,
                             params: SolverParams, chem: ChemTables,
-                            active) -> SolverState:
+                            active, ctx: StaticCtx = None) -> SolverState:
     """CalcChemicalReactions, Zeldovich infinitely-fast model
     (deeps2d_core.cpp:4697-4780), applied to ``active`` nodes.
 
@@ -483,13 +504,21 @@ def calc_chemical_reactions(state: SolverState, meta: GridMeta,
     rho_s = jnp.where(rho != 0, rho, 1)
     Tg = state.Tg
 
-    Yfu = S[fl.i2d_Yfu] / rho_s
-    Yox = S[fl.i2d_Yox] / rho_s
-    Ycp = S[fl.i2d_Ycp] / rho_s
+    if p.fast_math:
+        r_rho = 1.0 / rho_s
+        Yfu = S[fl.i2d_Yfu] * r_rho
+        Yox = S[fl.i2d_Yox] * r_rho
+        Ycp = S[fl.i2d_Ycp] * r_rho
+    else:
+        Yfu = S[fl.i2d_Yfu] / rho_s
+        Yox = S[fl.i2d_Yox] / rho_s
+        Ycp = S[fl.i2d_Ycp] / rho_s
     Yair = 1.0 - (Yfu + Yox + Ycp)
 
-    y_const = iscond(meta.CT, fl.CT_Y_CONST_2D)
-    react = active & ~y_const
+    if ctx is not None:
+        react = ctx.react
+    else:
+        react = active & ~iscond(meta.CT, fl.CT_Y_CONST_2D)
 
     if p.chemistry == fl.CRM_ZELDOVICH:
         ssum = Yfu + Yox + Ycp + Yair
@@ -560,7 +589,8 @@ def calc_chemical_reactions(state: SolverState, meta: GridMeta,
 
 
 def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
-                              params: SolverParams) -> SolverState:
+                              params: SolverParams,
+                              ctx: StaticCtx = None) -> SolverState:
     """CalcHeatOnWallSources (deeps2d_core.cpp:2679-2833): conjugate wall
     heat flux for non-adiabatic walls.
 
@@ -577,9 +607,13 @@ def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
     p = params
     ct = meta.CT
     dt_ = state.dt
-    solid = iscond(ct, fl.CT_SOLID_2D)
-    wall = (~solid & (iscond(ct, fl.CT_WALL_LAW_2D)
-                      | iscond(ct, fl.CT_WALL_NO_SLIP_2D)))
+    if ctx is not None:
+        solid = ctx.solid
+        wall = ~solid & ctx.wall
+    else:
+        solid = iscond(ct, fl.CT_SOLID_2D)
+        wall = (~solid & (iscond(ct, fl.CT_WALL_LAW_2D)
+                          | iscond(ct, fl.CT_WALL_NO_SLIP_2D)))
     lam_eff = state.lam + state.lam_t
     Tg = state.Tg
 

@@ -197,6 +197,14 @@ class SolverParams:
     # square) and zeroes the result when the sum is negative
     # (deeps2d_core.cpp:1139-1141, 1541-1549); the MPI build squares it
     serial_rms_mode: bool = False
+    # static specialization (build_case narrows these from the grid):
+    # turbulence-model code paths that can appear on any node of this case
+    models: tuple = ("prandtl", "keps", "sa", "smag")
+    # any wall-law / no-slip nodes present (gates wall handling + y+ path)
+    has_walls: bool = True
+    # allow reciprocal-multiply transforms of repeated divisions (changes
+    # last-ulp rounding; off for reference-parity golden validation)
+    fast_math: bool = False
     dtype: str = "float64"
 
     @property

@@ -1,0 +1,251 @@
+"""Precomputed per-node static context: masks, stencil weights, geometry.
+
+Every per-iteration branch of the reference decodes the CT/TCT bit flags
+(deeps2d_core.cpp:893-991, hyper_flow_node.hpp:374-600) — in the first
+TPU implementation those decodes (u32 and/cmp/not chains) were recomputed
+on every inner iteration and accounted for ~40% of the VPU op stream
+(measured by jaxpr census: ~840 of ~1900 plane-ops per iteration were
+mask/int work).  All of them are pure functions of the static GridMeta +
+SolverParams, so this module computes them ONCE:
+
+* the XLA scan paths close over the ctx (read from HBM, no recompute);
+* the Pallas kernel rebuilds it per invocation from the window metadata
+  (no extra HBM traffic; amortized across fused iterations when temporal
+  blocking is on).
+
+Mask/weight semantics are unchanged from the original inline decode — see
+the field comments for the reference cites.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from . import flags as fl
+
+
+def iscond(ct, flag):
+    f = jnp.uint32(flag & 0xFFFFFFFF)
+    return (ct & f) == f
+
+
+@dataclass
+class StaticCtx:
+    """Static per-node planes consumed by the solver stages."""
+
+    # --- per-equation BC masks, (9, X, Y) bool (deeps2d_core.cpp:893-991)
+    evolve: jnp.ndarray   # active & eq-solved & ~Dirichlet
+    dxn: jnp.ndarray      # Neumann d/dx flag present
+    dyn: jnp.ndarray
+    dx2: jnp.ndarray      # soft 2nd-order BC
+    dy2: jnp.ndarray
+    ddmask: jnp.ndarray   # static part of the DD/beta gate (pass 2, :1075)
+    # fused combinations used every iteration by pass 1
+    ev_flux_x: jnp.ndarray   # evolve & ~dxn  (flux difference path)
+    ev_avg_x: jnp.ndarray    # evolve &  dxn  (neighbor-average path)
+    ev_flux_y: jnp.ndarray
+    ev_avg_y: jnp.ndarray
+
+    # --- node classification, (X, Y) bool
+    solid: jnp.ndarray
+    fc: jnp.ndarray       # NT_FC (inlet) nodes
+    active: jnp.ndarray   # set & ~solid & ~fc
+    nrbc: jnp.ndarray     # CT_NONREFLECTED
+
+    # --- neighbor structure (deeps2d_core.cpp:869-888)
+    bXl: jnp.ndarray      # neighbor-present bools
+    bXr: jnp.ndarray
+    bYu: jnp.ndarray
+    bYd: jnp.ndarray
+    n1: jnp.ndarray       # idXl as dtype (asymmetric wall weights)
+    n2: jnp.ndarray
+    n3: jnp.ndarray
+    n4: jnp.ndarray
+    rn_n: jnp.ndarray     # 1 / max(n1+n2, 1)  (exact: values in {1, 2})
+    rm_m: jnp.ndarray
+    dx1nn: jnp.ndarray    # 1 / (dx * n_n)  (gradient weights, :1169-1237)
+    dy1mm: jnp.ndarray
+
+    # --- FillNode2D masks (hyper_flow_node.hpp:374-600)
+    u_const: jnp.ndarray
+    v_const: jnp.ndarray
+    wall_law: jnp.ndarray
+    wall_ns: jnp.ndarray  # no-slip & ~wall-law
+    wall: jnp.ndarray     # no-slip | wall-law
+    turb_on: jnp.ndarray  # TCT != 0
+    sig: jnp.ndarray      # SigW on walls else SigF (hpp:494-519)
+    y_r: jnp.ndarray      # node radius (j + j0 + 0.5) dy
+    jp1: jnp.ndarray      # j + j0 + 1 (axisym F/(j+1) divisor)
+
+    # --- turbulence model masks (hyper_flow_turbulence.hpp:22-61)
+    m_prandtl: jnp.ndarray
+    m_keps: jnp.ndarray
+    m_sa: jnp.ndarray
+    m_smag: jnp.ndarray
+    kconst: jnp.ndarray
+    econst: jnp.ndarray
+    ewall: jnp.ndarray
+    sa_bc: jnp.ndarray    # SA wall/const boundary nodes
+    l_base: jnp.ndarray   # max(l_min, min(dx,dy)) * 0.41
+    n_0: jnp.ndarray      # l_min * 0.41
+    l_s: jnp.ndarray      # l_base, zeros replaced by 1
+    l_min_s: jnp.ndarray  # l_min, zeros replaced by 1
+
+    # --- gradient-stage masks (deeps2d_core.cpp:1169-1237)
+    dydx_ok: jnp.ndarray
+    dydy_ok: jnp.ndarray
+    g_dydx: jnp.ndarray   # active & dydx_ok
+    g_dydy: jnp.ndarray
+    km: jnp.ndarray       # active & (keps | sa)
+    em: jnp.ndarray       # active & keps
+
+    # --- chemistry (deeps2d_core.cpp:4697-4780)
+    react: jnp.ndarray    # active & ~CT_Y_CONST
+
+
+jax.tree_util.register_dataclass(
+    StaticCtx, data_fields=[f for f in StaticCtx.__annotations__],
+    meta_fields=[])
+
+
+def build_static_ctx(meta, params, j0=0) -> StaticCtx:
+    """Decode GridMeta + SolverParams into a StaticCtx.
+
+    ``j0`` is the global j index of row 0 (nonzero for Pallas tile
+    windows); it may be a traced scalar.
+    """
+    p = params
+    ct, tct = meta.CT, meta.TCT
+    X = ct.shape
+    dtype = p.jdtype
+
+    # ---- equation masks (exact port of the former step.eq_masks) --------
+    c, dxn, dyn, dx2, dy2, act, ddc = [], [], [], [], [], [], []
+    ones = jnp.ones(X, bool)
+    for k in range(4):
+        c.append(iscond(ct, fl.CT_Rho_CONST_2D << k))
+        dxn.append(iscond(ct, fl.CT_dRhodx_NULL_2D << k))
+        dyn.append(iscond(ct, fl.CT_dRhody_NULL_2D << k))
+        dx2.append(iscond(ct, fl.CT_d2Rhodx2_NULL_2D << k))
+        dy2.append(iscond(ct, fl.CT_d2Rhody2_NULL_2D << k))
+        act.append(ones)
+        ddc.append(c[-1])
+    for k in range(4, 7):
+        c.append(iscond(ct, fl.CT_Y_CONST_2D))
+        dxn.append(iscond(ct, fl.CT_dYdx_NULL_2D))
+        dyn.append(iscond(ct, fl.CT_dYdy_NULL_2D))
+        dx2.append(iscond(ct, fl.CT_d2Ydx2_NULL_2D))
+        dy2.append(iscond(ct, fl.CT_d2Ydy2_NULL_2D))
+        act.append(ones)
+        ddc.append(c[-1])
+    keps = iscond(tct, fl.TCT_k_eps_Model_2D)
+    sa = iscond(tct, fl.TCT_Spalart_Allmaras_Model_2D)
+    zeros = jnp.zeros(X, bool)
+    turb2 = (keps | sa) if p.sm == fl.SM_NS else zeros
+    for k in range(7, 9):
+        s = k - 7
+        c.append(iscond(tct, fl.TCT_k_CONST_2D << s))
+        dxn.append(iscond(tct, fl.TCT_dkdx_NULL_2D << s))
+        dyn.append(iscond(tct, fl.TCT_dkdy_NULL_2D << s))
+        dx2.append(iscond(tct, fl.TCT_d2kdx2_NULL_2D << s))
+        dy2.append(iscond(tct, fl.TCT_d2kdy2_NULL_2D << s))
+        act.append(turb2 if k == 7 else
+                   (keps if p.sm == fl.SM_NS else zeros))
+        # reference pass-2 gate tests CT (not TCT) for these equations
+        ddc.append(iscond(ct, fl.TCT_k_CONST_2D << s))
+
+    # ---- node masks ------------------------------------------------------
+    solid = iscond(ct, fl.CT_SOLID_2D)
+    is_set = iscond(ct, fl.CT_NODE_IS_SET_2D)
+    fc = iscond(ct, fl.NT_FC_2D)
+    active = is_set & ~solid & ~fc
+    nrbc = iscond(ct, fl.CT_NONREFLECTED_2D)
+
+    cmask = jnp.stack(c)
+    eact = jnp.stack(act)
+    ddc_s = jnp.stack(ddc)
+    evolve = active[None] & eact & ~cmask
+    ddmask = active[None] & eact & ~ddc_s
+    dxn_s = jnp.stack(dxn)
+    dyn_s = jnp.stack(dyn)
+    ev_flux_x = evolve & ~dxn_s
+    ev_avg_x = evolve & dxn_s
+    ev_flux_y = evolve & ~dyn_s
+    ev_avg_y = evolve & dyn_s
+
+    # ---- neighbor structure ----------------------------------------------
+    bXl = meta.idXl != 0
+    bXr = meta.idXr != 0
+    bYu = meta.idYu != 0
+    bYd = meta.idYd != 0
+    n1 = meta.idXl.astype(dtype)
+    n2 = meta.idXr.astype(dtype)
+    n3 = meta.idYu.astype(dtype)
+    n4 = meta.idYd.astype(dtype)
+    n_n = jnp.maximum(n1 + n2, 1.0)
+    m_m = jnp.maximum(n3 + n4, 1.0)
+    rn_n = 1.0 / n_n
+    rm_m = 1.0 / m_m
+    dx1nn = (rn_n / p.dx).astype(dtype)
+    dy1mm = (rm_m / p.dy).astype(dtype)
+
+    # ---- fill masks --------------------------------------------------------
+    u_const = iscond(ct, fl.CT_U_CONST_2D)
+    v_const = iscond(ct, fl.CT_V_CONST_2D)
+    wall_lawm = iscond(ct, fl.CT_WALL_LAW_2D)
+    wall_nsm = iscond(ct, fl.CT_WALL_NO_SLIP_2D) & ~wall_lawm
+    wall = wall_nsm | wall_lawm
+    turb_on = tct != 0
+    sig = jnp.where(wall, jnp.asarray(p.SigW, dtype),
+                    jnp.asarray(p.SigF, dtype))
+    jj = j0 + jax.lax.broadcasted_iota(jnp.int32, X, 1).astype(dtype)
+    y_r = (jj + 0.5) * p.dy
+    jp1 = jj + 1.0
+
+    # ---- turbulence masks --------------------------------------------------
+    m_prandtl = iscond(tct, fl.TCT_Prandtl_Model_2D)
+    m_keps = keps & ~m_prandtl
+    m_sa = sa & ~m_prandtl & ~m_keps
+    m_smag = (iscond(tct, fl.TCT_Smagorinsky_Model_2D)
+              & ~m_prandtl & ~m_keps & ~m_sa)
+    kconst = iscond(tct, fl.TCT_k_CONST_2D)
+    econst = iscond(tct, fl.TCT_eps_CONST_2D)
+    ewall = iscond(tct, fl.TCT_eps_Cmk2kXn_WALL_2D)
+    sa_bc = (iscond(ct, fl.CT_WALL_NO_SLIP_2D) | wall_lawm
+             | iscond(tct, fl.TCT_nu_t_CONST_2D))
+    l_base = jnp.maximum(meta.l_min, min(p.dx, p.dy)) * 0.41
+    n_0 = meta.l_min * 0.41
+    l_s = jnp.where(l_base != 0, l_base, 1)
+    l_min_s = jnp.where(meta.l_min != 0, meta.l_min, 1)
+
+    # ---- gradient masks -----------------------------------------------------
+    dydx_ok = ~iscond(ct, fl.CT_dYdx_NULL_2D)
+    dydy_ok = ~iscond(ct, fl.CT_dYdy_NULL_2D)
+    km = active & (keps | sa)
+    em = active & keps
+
+    # ---- chemistry -----------------------------------------------------------
+    react = active & ~iscond(ct, fl.CT_Y_CONST_2D)
+
+    return StaticCtx(
+        evolve=evolve, dxn=dxn_s, dyn=dyn_s,
+        dx2=jnp.stack(dx2), dy2=jnp.stack(dy2), ddmask=ddmask,
+        ev_flux_x=ev_flux_x, ev_avg_x=ev_avg_x,
+        ev_flux_y=ev_flux_y, ev_avg_y=ev_avg_y,
+        solid=solid, fc=fc, active=active, nrbc=nrbc,
+        bXl=bXl, bXr=bXr, bYu=bYu, bYd=bYd,
+        n1=n1, n2=n2, n3=n3, n4=n4, rn_n=rn_n.astype(dtype),
+        rm_m=rm_m.astype(dtype), dx1nn=dx1nn, dy1mm=dy1mm,
+        u_const=u_const, v_const=v_const, wall_law=wall_lawm,
+        wall_ns=wall_nsm, wall=wall, turb_on=turb_on, sig=sig,
+        y_r=y_r, jp1=jp1,
+        m_prandtl=m_prandtl, m_keps=m_keps, m_sa=m_sa, m_smag=m_smag,
+        kconst=kconst, econst=econst, ewall=ewall, sa_bc=sa_bc,
+        l_base=l_base.astype(dtype), n_0=n_0.astype(dtype),
+        l_s=l_s.astype(dtype), l_min_s=l_min_s.astype(dtype),
+        dydx_ok=dydx_ok, dydy_ok=dydy_ok,
+        g_dydx=active & dydx_ok, g_dydy=active & dydy_ok, km=km, em=em,
+        react=react)

@@ -35,6 +35,7 @@ from . import flags as fl
 from .physics import (calc_chemical_reactions, calc_heat_on_wall_sources,
                       fill_node, iscond, node_masks, _safe_div)
 from .state import ChemTables, GridMeta, SolverParams, SolverState
+from .static_ctx import StaticCtx, build_static_ctx
 
 
 # ---------------------------------------------------------------------------
@@ -70,54 +71,6 @@ def neighbors(q, idXl, idXr, idYu, idYd):
     return L, Rn, Up, Dn
 
 
-def eq_masks(meta: GridMeta, params: SolverParams):
-    """Per-equation BC masks, shape (9, X, Y) bools.
-
-    Decodes the bit-flag scheme of pass 1 (deeps2d_core.cpp:893-991):
-    ``c`` = Dirichlet (skip update), ``dxn/dyn`` = Neumann (average instead
-    of flux difference), ``dx2/dy2`` = soft second-order BC.
-    ``act`` marks equations actually solved on the node (Num_Eq truncation
-    via SetTurbulenceModel, 4683-4695).  ``ddc`` is the pass-2 DD/beta gate
-    constant — which for the turbulence equations tests *CT* bits
-    (reference quirk at 1075, kept for fidelity).
-    """
-    ct, tct = meta.CT, meta.TCT
-    X = ct.shape
-    c, dxn, dyn, dx2, dy2, act, ddc = [], [], [], [], [], [], []
-    for k in range(4):
-        c.append(iscond(ct, fl.CT_Rho_CONST_2D << k))
-        dxn.append(iscond(ct, fl.CT_dRhodx_NULL_2D << k))
-        dyn.append(iscond(ct, fl.CT_dRhody_NULL_2D << k))
-        dx2.append(iscond(ct, fl.CT_d2Rhodx2_NULL_2D << k))
-        dy2.append(iscond(ct, fl.CT_d2Rhody2_NULL_2D << k))
-        act.append(jnp.ones(X, bool))
-        ddc.append(c[-1])
-    for k in range(4, 7):
-        c.append(iscond(ct, fl.CT_Y_CONST_2D))
-        dxn.append(iscond(ct, fl.CT_dYdx_NULL_2D))
-        dyn.append(iscond(ct, fl.CT_dYdy_NULL_2D))
-        dx2.append(iscond(ct, fl.CT_d2Ydx2_NULL_2D))
-        dy2.append(iscond(ct, fl.CT_d2Ydy2_NULL_2D))
-        act.append(jnp.ones(X, bool))
-        ddc.append(c[-1])
-    keps = iscond(tct, fl.TCT_k_eps_Model_2D)
-    sa = iscond(tct, fl.TCT_Spalart_Allmaras_Model_2D)
-    turb2 = (keps | sa) if params.sm == fl.SM_NS else jnp.zeros(X, bool)
-    for k in range(7, 9):
-        s = k - 7
-        c.append(iscond(tct, fl.TCT_k_CONST_2D << s))
-        dxn.append(iscond(tct, fl.TCT_dkdx_NULL_2D << s))
-        dyn.append(iscond(tct, fl.TCT_dkdy_NULL_2D << s))
-        dx2.append(iscond(tct, fl.TCT_d2kdx2_NULL_2D << s))
-        dy2.append(iscond(tct, fl.TCT_d2kdy2_NULL_2D << s))
-        act.append(turb2 if k == 7 else
-                   (keps if params.sm == fl.SM_NS else jnp.zeros(X, bool)))
-        # reference pass-2 gate tests CT (not TCT) for these equations
-        ddc.append(iscond(ct, fl.TCT_k_CONST_2D << s))
-    return (jnp.stack(c), jnp.stack(dxn), jnp.stack(dyn), jnp.stack(dx2),
-            jnp.stack(dy2), jnp.stack(act), jnp.stack(ddc))
-
-
 @dataclass(frozen=True)
 class StepAux:
     """Traced per-iteration scalars."""
@@ -132,7 +85,8 @@ jax.tree_util.register_dataclass(
 
 
 def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
-           aux: StepAux, j0=0, return_fields: bool = False):
+           aux: StepAux, j0=0, return_fields: bool = False,
+           ctx: StaticCtx = None):
     """Pass 1 (stencil/flux update) + pass 2 (DD/beta/RMS/commit).
 
     Returns (S_committed, beta_out, dSdx_new, dSdy_new, diag).  With
@@ -140,6 +94,8 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     (for tiled kernels that must reduce over tile interiors only).
     """
     p = params
+    if ctx is None:
+        ctx = build_static_ctx(meta, p, j0)
     dt_ = state.dt
     dtype = state.S.dtype
     dtdx = dt_ / p.dx
@@ -147,21 +103,15 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     dxx = p.dy / (p.dx + p.dy)   # neighbor-average weights (643-644)
     dyy = p.dx / (p.dx + p.dy)
 
-    solid, is_set, fc, active = node_masks(meta)
-    cmask, dxn, dyn, dx2m, dy2m, eact, ddc = eq_masks(meta, p)
+    active = ctx.active
+    dx2m, dy2m = ctx.dx2, ctx.dy2
 
-    idXl = (meta.idXl != 0)
-    idXr = (meta.idXr != 0)
-    idYu = (meta.idYu != 0)
-    idYd = (meta.idYd != 0)
-    n1 = meta.idXl.astype(dtype)
-    n2 = meta.idXr.astype(dtype)
-    n3 = meta.idYu.astype(dtype)
-    n4 = meta.idYd.astype(dtype)
-    n_n = jnp.maximum(n1 + n2, 1.0)
-    m_m = jnp.maximum(n3 + n4, 1.0)
+    idXl, idXr, idYu, idYd = ctx.bXl, ctx.bXr, ctx.bYu, ctx.bYd
+    n1, n2, n3, n4 = ctx.n1, ctx.n2, ctx.n3, ctx.n4
+    # 1/n_n with n_n in {1, 2}: the reciprocal-multiply is exact
+    rn_n, rm_m = ctx.rn_n, ctx.rm_m
 
-    evolve = active[None] & eact & ~cmask          # (9, X, Y)
+    evolve = ctx.evolve                            # (9, X, Y)
 
     # ---------------- PASS 1 (853-1026) -----------------------------------
     S = state.S
@@ -172,15 +122,15 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     # dxn/dyn masks are "Neumann flag present": flag absent -> flux
     # difference, flag present -> neighbor average + zero gradient
     # (deeps2d_core.cpp:940-1007).
-    dSdx_new = jnp.where(evolve & ~dxn, (A_R - A_L) / n_n,
+    dSdx_new = jnp.where(ctx.ev_flux_x, (A_R - A_L) * rn_n,
                          jnp.where(evolve, 0.0, state.dSdx))
-    dSdy_new = jnp.where(evolve & ~dyn, (B_U - B_D) / m_m,
+    dSdy_new = jnp.where(ctx.ev_flux_y, (B_U - B_D) * rm_m,
                          jnp.where(evolve, 0.0, state.dSdy))
 
     # Neumann averaging mutates S before the blend (996-1006); x first, y
     # overrides if both flags are set.
-    S_eff = jnp.where(evolve & dxn, (S_L * n2 + S_R * n1) / n_n, S)
-    S_eff = jnp.where(evolve & dyn, (S_U * n3 + S_D * n4) / m_m, S_eff)
+    S_eff = jnp.where(ctx.ev_avg_x, (S_L * n2 + S_R * n1) * rn_n, S)
+    S_eff = jnp.where(ctx.ev_avg_y, (S_U * n3 + S_D * n4) * rm_m, S_eff)
 
     dSdx_L, dSdx_R, _, _ = neighbors(dSdx_new, idXl, idXr, idYu, idYd)
     _, _, dSdy_U, dSdy_D = neighbors(dSdy_new, idXl, idXr, idYu, idYd)
@@ -190,10 +140,7 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     beta = state.beta
     blend = (dxx * (S_L + S_R) + dyy * (S_U + S_D)) * 0.5
     if p.ft == fl.FT_AXISYMMETRIC:
-        jp1 = (j0 + jax.lax.broadcasted_iota(
-            jnp.int32, (state.S.shape[-2], state.S.shape[-1]), 1).astype(dtype)
-               + 1.0)[None]
-        y_term = dYY + state.F / jp1
+        y_term = dYY + state.F / ctx.jp1[None]
     else:
         y_term = dYY
     next_s = (S_eff * beta + (1.0 - beta) * blend
@@ -209,8 +156,7 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     sqrt_res = jnp.where(big, jnp.sqrt(dd_local), 0.0)
 
     beta_min = jnp.minimum(jnp.asarray(p.beta0, dtype), aux.beta_scen)
-    nrbc = iscond(meta.CT, fl.CT_NONREFLECTED_2D)
-    beta_min = jnp.where(nrbc, jnp.asarray(p.nrbc_beta0, dtype),
+    beta_min = jnp.where(ctx.nrbc, jnp.asarray(p.nrbc_beta0, dtype),
                          beta_min)[None]
     if p.bff == fl.BFF_L:
         new_beta = jnp.minimum(beta_min,
@@ -233,7 +179,7 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     else:
         new_beta = beta
 
-    dd_gate = active[None] & eact & ~ddc & (tmp != 0.0)
+    dd_gate = ctx.ddmask & (tmp != 0.0)
     beta_out = jnp.where(dd_gate, new_beta, beta)
 
     if return_fields:
@@ -266,7 +212,8 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
 
 
 def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
-        chem: ChemTables, aux: StepAux, j0=0, return_fields: bool = False):
+        chem: ChemTables, aux: StepAux, j0=0, return_fields: bool = False,
+        ctx: StaticCtx = None):
     """Gradients + FillNode2D + local dt + chemistry + wall heat flux
     (the tail of pass 2, deeps2d_core.cpp:1169-1334 + 1402-1409).
 
@@ -276,32 +223,34 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
     incoming value (callers decide the dt hand-off).
     """
     p = params
+    if ctx is None:
+        ctx = build_static_ctx(meta, p, j0)
     dtype = state.S.dtype
-    solid, is_set, fc, active = node_masks(meta)
-    idXl = (meta.idXl != 0)
-    idXr = (meta.idXr != 0)
-    idYu = (meta.idYu != 0)
-    idYd = (meta.idYd != 0)
-    n1 = meta.idXl.astype(dtype)
-    n2 = meta.idXr.astype(dtype)
-    n3 = meta.idYu.astype(dtype)
-    n4 = meta.idYd.astype(dtype)
-    n_n = jnp.maximum(n1 + n2, 1.0)
-    m_m = jnp.maximum(n3 + n4, 1.0)
+    active = ctx.active
+    idXl, idXr, idYu, idYd = ctx.bXl, ctx.bXr, ctx.bYu, ctx.bYd
+    n1, n2, n3, n4 = ctx.n1, ctx.n2, ctx.n3, ctx.n4
     S_committed = state.S
 
     # ---------------- gradients (1169-1237) --------------------------------
     st = state
     if p.sm == fl.SM_NS:
-        dx1nn = 1.0 / (p.dx * n_n)
-        dy1mm = 1.0 / (p.dy * m_m)
+        dx1nn = ctx.dx1nn
+        dy1mm = ctx.dy1mm
         Sc_L, Sc_R, Sc_U, Sc_D = neighbors(S_committed, idXl, idXr, idYu,
                                            idYd)
         rho_c = S_committed[fl.i2d_Rho]
         rho_cs = jnp.where(rho_c != 0, rho_c, 1)
+        if p.fast_math:
+            r_rho_c = 1.0 / rho_cs
 
-        dydx_ok = ~iscond(meta.CT, fl.CT_dYdx_NULL_2D)
-        dydy_ok = ~iscond(meta.CT, fl.CT_dYdy_NULL_2D)
+            def div_rho_c(a):
+                return a * r_rho_c
+        else:
+            def div_rho_c(a):
+                return a / rho_cs
+
+        dydx_ok = ctx.dydx_ok
+        dydy_ok = ctx.dydy_ok
         droYdx_l = []
         droYdy_l = []
         air_R = Sc_R[fl.i2d_Rho]
@@ -312,53 +261,68 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
             gx = (Sc_R[k] - Sc_L[k]) * dx1nn
             gy = (Sc_U[k] - Sc_D[k]) * dy1mm
             droYdx_l.append(
-                jnp.where(active & dydx_ok, gx, st.droYdx[k - 4]))
+                jnp.where(ctx.g_dydx, gx, st.droYdx[k - 4]))
             droYdy_l.append(
-                jnp.where(active & dydy_ok, gy, st.droYdy[k - 4]))
+                jnp.where(ctx.g_dydy, gy, st.droYdy[k - 4]))
             air_R = air_R - jnp.where(dydx_ok, Sc_R[k], 0.0)
             air_L = air_L - jnp.where(dydx_ok, Sc_L[k], 0.0)
             air_U = air_U - jnp.where(dydy_ok, Sc_U[k], 0.0)
             air_D = air_D - jnp.where(dydy_ok, Sc_D[k], 0.0)
         droYdx_l.append(
-            jnp.where(active & dydx_ok, (air_R - air_L) * dx1nn,
+            jnp.where(ctx.g_dydx, (air_R - air_L) * dx1nn,
                       jnp.where(active, 0.0, st.droYdx[fl.NUM_COMPONENTS])))
         droYdy_l.append(
-            jnp.where(active & dydy_ok, (air_U - air_D) * dy1mm,
+            jnp.where(ctx.g_dydy, (air_U - air_D) * dy1mm,
                       jnp.where(active, 0.0, st.droYdy[fl.NUM_COMPONENTS])))
         droYdx = jnp.stack(droYdx_l)
         droYdy = jnp.stack(droYdy_l)
 
-        wall = (iscond(meta.CT, fl.CT_WALL_NO_SLIP_2D)
-                | iscond(meta.CT, fl.CT_WALL_LAW_2D))
+        wall = ctx.wall
         U_L, U_R, U_U, U_D = neighbors(st.U, idXl, idXr, idYu, idYd)
         V_L, V_R, V_U, V_D = neighbors(st.V, idXl, idXr, idYu, idYd)
 
-        def grad_x(qr, ql):
-            # wall nodes use the asymmetric n1*right - n2*left weighting
-            return jnp.where(wall, (qr * n1 - ql * n2) * dx1nn,
-                             (qr - ql) * dx1nn)
+        if p.has_walls:
+            def grad_x(qr, ql):
+                # wall nodes use the asymmetric n1*right - n2*left weights
+                return jnp.where(wall, (qr * n1 - ql * n2) * dx1nn,
+                                 (qr - ql) * dx1nn)
 
-        def grad_y(qu, qd):
-            return jnp.where(wall, (qu * n3 - qd * n4) * dy1mm,
-                             (qu - qd) * dy1mm)
+            def grad_y(qu, qd):
+                return jnp.where(wall, (qu * n3 - qd * n4) * dy1mm,
+                                 (qu - qd) * dy1mm)
+        else:
+            def grad_x(qr, ql):
+                return (qr - ql) * dx1nn
+
+            def grad_y(qu, qd):
+                return (qu - qd) * dy1mm
 
         dUdx = jnp.where(active, grad_x(U_R, U_L), st.dUdx)
         dVdx = jnp.where(active, grad_x(V_R, V_L), st.dVdx)
         dUdy = jnp.where(active, grad_y(U_U, U_D), st.dUdy)
         dVdy = jnp.where(active, grad_y(V_U, V_D), st.dVdy)
 
-        keps = iscond(meta.TCT, fl.TCT_k_eps_Model_2D)
-        sa = iscond(meta.TCT, fl.TCT_Spalart_Allmaras_Model_2D)
-        km = active & (keps | sa)
-        dkdx = jnp.where(km, grad_x(Sc_R[fl.i2d_k], Sc_L[fl.i2d_k]) / rho_cs,
-                         st.dkdx)
-        dkdy = jnp.where(km, grad_y(Sc_U[fl.i2d_k], Sc_D[fl.i2d_k]) / rho_cs,
-                         st.dkdy)
-        em = active & keps
-        depsdx = jnp.where(em, grad_x(Sc_R[fl.i2d_eps],
-                                      Sc_L[fl.i2d_eps]) / rho_cs, st.depsdx)
-        depsdy = jnp.where(em, grad_y(Sc_U[fl.i2d_eps],
-                                      Sc_D[fl.i2d_eps]) / rho_cs, st.depsdy)
+        km = ctx.km
+        has_turb2 = ("keps" in p.models) or ("sa" in p.models)
+        if has_turb2:
+            dkdx = jnp.where(km, div_rho_c(grad_x(Sc_R[fl.i2d_k],
+                                                  Sc_L[fl.i2d_k])),
+                             st.dkdx)
+            dkdy = jnp.where(km, div_rho_c(grad_y(Sc_U[fl.i2d_k],
+                                                  Sc_D[fl.i2d_k])),
+                             st.dkdy)
+        else:
+            dkdx, dkdy = st.dkdx, st.dkdy
+        em = ctx.em
+        if "keps" in p.models:
+            depsdx = jnp.where(em, div_rho_c(grad_x(Sc_R[fl.i2d_eps],
+                                                    Sc_L[fl.i2d_eps])),
+                               st.depsdx)
+            depsdy = jnp.where(em, div_rho_c(grad_y(Sc_U[fl.i2d_eps],
+                                                    Sc_D[fl.i2d_eps])),
+                               st.depsdy)
+        else:
+            depsdx, depsdy = st.depsdx, st.depsdy
 
         Tg_L, Tg_R, Tg_U, Tg_D = neighbors(st.Tg, idXl, idXr, idYu, idYd)
         dTdx = jnp.where(active, (Tg_R - Tg_L) * dx1nn, st.dTdx)
@@ -380,8 +344,8 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
     # NT_FC nodes: always refreshed with is_mu_t=1.
     # logical-or form of where(fc, True, iter-flag): Mosaic cannot lower the
     # i8->i1 select this produced
-    is_mu_t = fc | jnp.asarray(aux.is_mu_t_iter, bool)
-    filled = fill_node(mid, meta, p, is_mu_t, is_init=False, j0=j0)
+    is_mu_t = ctx.fc | jnp.asarray(aux.is_mu_t_iter, bool)
+    filled = fill_node(mid, meta, p, is_mu_t, is_init=False, j0=j0, ctx=ctx)
 
     unstable_field = active & (filled.Tg < 0.0)
     unstable = unstable_field if return_fields else jnp.any(unstable_field)
@@ -398,11 +362,11 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
         dt_new = jnp.minimum(dt_new, state.dt)
 
     # ---------------- chemistry (1328) -------------------------------------
-    out = calc_chemical_reactions(filled, meta, p, chem, active)
+    out = calc_chemical_reactions(filled, meta, p, chem, active, ctx=ctx)
 
     # ---------------- conjugate wall heat flux (1402-1409) ------------------
-    if not p.isAdiabaticWall:
-        out = calc_heat_on_wall_sources(out, meta, p)
+    if not p.isAdiabaticWall and p.has_walls:
+        out = calc_heat_on_wall_sources(out, meta, p, ctx=ctx)
 
     if return_fields:
         # per-node dt field (pre-chemistry properties, exactly as reduced
@@ -412,13 +376,16 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
 
 
 def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
-                chem: ChemTables, aux: StepAux):
+                chem: ChemTables, aux: StepAux, ctx: StaticCtx = None):
     """One full inner iteration (reference order: pass1 -> pass2 -> gradients
     -> fill -> dt -> chemistry -> heat).  Returns (new_state, diag)."""
-    S_c, beta_c, dSdx_n, dSdy_n, diag = pass12(state, meta, params, aux)
+    if ctx is None:
+        ctx = build_static_ctx(meta, params)
+    S_c, beta_c, dSdx_n, dSdy_n, diag = pass12(state, meta, params, aux,
+                                               ctx=ctx)
     mid = SolverState(**{**state.__dict__, "S": S_c, "beta": beta_c,
                          "dSdx": dSdx_n, "dSdy": dSdy_n})
-    out, dt_new, unstable = gfc(mid, meta, params, chem, aux)
+    out, dt_new, unstable = gfc(mid, meta, params, chem, aux, ctx=ctx)
     out = SolverState(**{**out.__dict__, "dt": dt_new})
     diag = {**diag, "dt_next": dt_new, "unstable": unstable}
     return out, diag
@@ -510,15 +477,18 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
         epilogue: [gradients+fill+dt+chem+heat] @ iter n-1
     """
     dtype = params.jdtype
+    ctx = build_static_ctx(meta, params)
 
     def aux_at(it):
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
 
     def rotated(slim, k):
         full = expand(slim, params, src_ext)
-        out, dt_new, unstable = gfc(full, meta, params, chem, aux_at(k))
+        out, dt_new, unstable = gfc(full, meta, params, chem, aux_at(k),
+                                    ctx=ctx)
         out = SolverState(**{**out.__dict__, "dt": dt_new})
-        S_c, beta_c, _, _, diag = pass12(out, meta, params, aux_at(k + 1))
+        S_c, beta_c, _, _, diag = pass12(out, meta, params, aux_at(k + 1),
+                                         ctx=ctx)
         slim2 = shrink(SolverState(**{**out.__dict__, "S": S_c,
                                       "beta": beta_c}))
         diag = {**diag, "unstable": unstable}
@@ -527,7 +497,8 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
     def chunk(state: SolverState, n_iters: int, start_iter):
         # prologue: iteration start_iter's pass12 (fluxes already in state)
         aux0 = aux_at(start_iter)
-        S_c, beta_c, _, _, diag0 = pass12(state, meta, params, aux0)
+        S_c, beta_c, _, _, diag0 = pass12(state, meta, params, aux0,
+                                          ctx=ctx)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
                                      "beta": beta_c}))
         if n_iters > 1:
@@ -538,7 +509,8 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
         # epilogue: final iteration's gradients/fill/chem
         full = expand(slim, params, src_ext)
         out, dt_new, unstable_last = gfc(full, meta, params, chem,
-                                         aux_at(start_iter + n_iters - 1))
+                                         aux_at(start_iter + n_iters - 1),
+                                         ctx=ctx)
         out = SolverState(**{**out.__dict__, "dt": dt_new})
 
         def lead(a, b):

@@ -1,31 +1,37 @@
 """Fused Pallas TPU kernel for the rotated solver iteration.
 
-One kernel invocation performs the whole iteration per (TX, TY) tile:
-gradients -> FillNode2D -> chemistry -> wall heat -> pass 1 -> pass 2
-(commit + beta).  The physics is the *same* stage code as the XLA path
-(core/step.py, core/physics.py) evaluated on VMEM blocks, so the two paths
-cannot drift apart.
+One kernel invocation performs ``fuse_iters`` (= K) whole iterations per
+(TX, TY) tile: [gradients -> FillNode2D -> chemistry -> wall heat ->
+pass 1 -> pass 2 (commit + beta)] x K.  The physics is the *same* stage
+code as the XLA path (core/step.py, core/physics.py) evaluated on VMEM
+blocks, so the two paths cannot drift apart; the static bit-flag decode
+(core/static_ctx.py) runs once per invocation and amortizes over the K
+fused iterations.
 
-Tiling: each tile needs a halo ring H=3 (deepest dependency chain: center
-pass-1 needs neighbor dSdx, which needs flux A two cells out, which needs
-gradients three cells out).  Overlapping halo windows are not expressible
-as standard (aligned, disjoint) BlockSpec blocks, and manual HBM->VMEM
-DMAs require 128-lane-aligned slices, so the inputs are staged through an
-"exploded" layout: an XLA gather with clamped indices lays each tile's
-(TX+2H, TY+2H) window out contiguously (edge clamping == the XLA path's
+Tiling: one fused iteration needs a halo ring H=3 (deepest dependency
+chain: center pass-1 needs neighbor dSdx, which needs flux A two cells
+out, which needs gradients three cells out); K iterations need 3K.
+Overlapping halo windows are not expressible as standard (aligned,
+disjoint) BlockSpec blocks, and manual HBM->VMEM DMAs require
+128-lane-aligned slices, so the inputs are staged through an "exploded"
+layout: an XLA gather with clamped indices lays each tile's
+(TX+2HX, TY+2HY) window out contiguously (edge clamping == the XLA path's
 edge-replicated shifts; out-of-range values are masked by the reference's
 idXl/idXr/idYu/idYd neighbor flags).  The kernel then runs a standard
 auto-pipelined BlockSpec grid, computes everything redundantly on the
-halo, and writes back only the (TX, TY) center.  The explosion costs one
-extra HBM round trip of the ~33-plane carry per iteration — ~1.7x the
-theoretical traffic floor, still ~4x less than the multi-stage XLA path.
+halo, and writes back only the (TX, TY) center.  Alignment forces
+HY = 64 >= 3K (so temporal blocking in Y is free up to K=21) and
+HX = 3K rounded up to a multiple of 4.  The explosion costs one extra
+HBM round trip of the ~33-plane carry per K iterations.
 
 dt semantics on this path: the global dt reduction is evaluated at scan
-level from the carried primitives, which gives the primitives one extra
-iteration of lag relative to the reference's already-lagged dt (the
-mixture properties are the exact pre-chemistry values via the CP / R
-carry).  CFL-limited dt differs by O(1e-3) relative; the XLA path keeps
-the reference-exact pairing and remains the validation reference.
+level from the carried primitives and FROZEN across the K fused
+iterations (a global scalar cannot be re-reduced mid-kernel without a
+grid barrier).  For K=1 this gives the primitives one extra iteration of
+lag relative to the reference's already-lagged dt (deeps2d_core.cpp:
+805-825); for K>1 the lag grows to at most K iterations.  CFL-limited dt
+drifts O(1e-3) relative per iteration; the XLA path keeps the
+reference-exact pairing and remains the validation reference.
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import flags as fl
 from ..core.physics import node_masks, _safe_div
 from ..core.state import ChemTables, GridMeta, SolverParams, SolverState
+from ..core.static_ctx import build_static_ctx
 from ..core.step import (SlimState, StepAux, expand, gfc, make_aux, pass12,
                          shrink, _SLIM_FIELDS)
 
@@ -53,21 +60,27 @@ CHEM_FIELDS = [f.name for f in ChemTables.__dataclass_fields__.values()]
 
 def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                       chem: ChemTables, beta_tab, cfl_tab, turb_start,
-                      src_ext, tile=(64, 128)):
+                      src_ext, tile=(64, 128), fuse_iters: int = 1,
+                      vmem_limit_bytes=100 * 1024 * 1024):
     """Build chunk(state, n_iters, start_iter) running the fused kernel.
 
     Matches make_fast_chunk's interface and prologue/epilogue structure.
+    ``fuse_iters`` (K) fuses K whole iterations per kernel launch (see
+    module docstring for the dt-freezing semantics).  ``vmem_limit_bytes``
+    raises Mosaic's VMEM budget above the 16 MB default scoped limit — the
+    fused kernel's live-plane stack exceeds it for tiles past (64, 128)
+    (v5e has 128 MB VMEM).
     """
     p = params
+    K = int(fuse_iters)
+    assert K >= 1 and 3 * K <= 64, "fuse_iters limited by the Y halo (64)"
     TX, TY = tile
     # Pallas TPU blocks must have their last two dims divisible by (8, 128):
-    # round the tile up and use asymmetric halos that preserve divisibility
-    # (X halo 4 >= HALO; Y halo 64 >= HALO).  The >=HALO ring is what the
-    # stencil needs; the extra ring cells are redundant compute.
+    # round the tile up and use asymmetric halos that preserve divisibility.
     TX = -(-TX // 8) * 8
     TY = -(-TY // 128) * 128
-    HX, HY = 4, 64
-    H = HALO
+    HX = -(-(HALO * K) // 4) * 4
+    HY = 64
     X, Y = p.MaxX, p.MaxY
     nbx = -(-X // TX)
     nby = -(-Y // TY)
@@ -95,153 +108,181 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
 
     n_in = len(SLIM_BIG) + len(META_BIG) + 1   # + src_ext
-
-    def kernel(scal_ref, *refs):
-        slim_refs = refs[:len(SLIM_BIG)]
-        meta_refs = refs[len(SLIM_BIG):len(SLIM_BIG) + len(META_BIG)]
-        src_ref = refs[len(SLIM_BIG) + len(META_BIG)]
-        chem_refs = refs[n_in:n_in + len(CHEM_FIELDS)]
-        k0 = n_in + len(CHEM_FIELDS)
-        out_refs = refs[k0:k0 + len(SLIM_BIG)]
-        pr_num, pr_den, pr_max, pr_uns = refs[k0 + len(SLIM_BIG):
-                                              k0 + len(SLIM_BIG) + 4]
-
-        tj = pl.program_id(1)
-
-        mvals = {f: meta_refs[k][...] for k, f in enumerate(META_BIG)}
-        slim = SlimState(
-            **{f: slim_refs[k][...] for k, f in enumerate(SLIM_BIG)},
-            dt=scal_ref[0].astype(dtype))
-        zi32 = jnp.zeros((WX, WY), jnp.int32)
-        meta_blk = GridMeta(NGX=zi32.astype(jnp.int8),
-                            NGY=zi32.astype(jnp.int8),
-                            i_wall=zi32, j_wall=zi32, **mvals)
-        src_w = src_ref[...]
-
-        # chem tables live in SMEM; materialize them as static tuples of
-        # scalar reads (table_lookup indexes knots statically) — rank-1
-        # VMEM vectors crash Mosaic layout inference
-        def chem_leaf(k, f):
-            size = getattr(chem, f).shape[0]
-            if size == 1:
-                return chem_refs[k][0]
-            return tuple(chem_refs[k][i] for i in range(size))
-        chem_blk = ChemTables(**{f: chem_leaf(k, f)
-                                 for k, f in enumerate(CHEM_FIELDS)})
-
-        j0 = tj * TY - HY   # global j of window row 0 (clamped rows are
-        #                     only read as masked neighbors)
-        aux_g = StepAux(beta_scen=scal_ref[1].astype(dtype),
-                        cfl_scen=scal_ref[2].astype(dtype),
-                        is_mu_t_iter=scal_ref[3] > 0.5)
-        aux_p = StepAux(beta_scen=scal_ref[4].astype(dtype),
-                        cfl_scen=scal_ref[5].astype(dtype),
-                        is_mu_t_iter=scal_ref[6] > 0.5)
-
-        full = expand(slim, p_blk, src_w)
-        out_state, _, _ = gfc(full, meta_blk, p_blk, chem_blk, aux_g,
-                              j0=j0, return_fields=True)
-        out_state = SolverState(**{**out_state.__dict__, "dt": slim.dt})
-        S_c, beta_c, _, _, fields = pass12(out_state, meta_blk, p_blk,
-                                           aux_p, j0=j0,
-                                           return_fields=True)
-
-        # ---- write center crops ------------------------------------------
-        new_slim = {**{f: getattr(out_state, f) for f in SLIM_BIG},
-                    "S": S_c, "beta": beta_c}
-        for k, f in enumerate(SLIM_BIG):
-            out_refs[k][...] = new_slim[f][..., HX:HX + TX, HY:HY + TY]
-
-        # ---- center partial reductions ------------------------------------
-        # reduce ONLY the row axis: (9,TX,TY) -> (9,TY).  A full reduction
-        # would create a rank-1 (9,) intermediate (jnp keepdims lowers to
-        # reduce+reshape) which crashes Mosaic layout inference; the final
-        # TY reduction runs outside the kernel in XLA.
-        gate = fields["gate"][:, HX:HX + TX, HY:HY + TY]
-        abs_dd = fields["abs_dd"][:, HX:HX + TX, HY:HY + TY]
-        tmp = fields["tmp"][:, HX:HX + TX, HY:HY + TY]
-        dd_l = fields["dd_local"][:, HX:HX + TX, HY:HY + TY]
-        if p.isAlternateRMS:
-            acc = abs_dd if p.serial_rms_mode else abs_dd * abs_dd
-            num = jnp.sum(jnp.where(gate, acc, 0.0), axis=-2)
-            den = jnp.sum(jnp.where(gate, tmp * tmp, 0.0), axis=-2)
-        else:
-            num = jnp.sum(jnp.where(gate, dd_l * dd_l, 0.0), axis=-2)
-            den = jnp.sum(gate, axis=-2).astype(dtype)
-        ddm = jnp.max(jnp.where(gate, dd_l, 0.0), axis=-2)
-        ti = pl.program_id(0)
-        t = ti * nby + tj
-        pr_num[:, pl.ds(t, 1), :] = num[:, None, :]
-        pr_den[:, pl.ds(t, 1), :] = den[:, None, :]
-        pr_max[:, pl.ds(t, 1), :] = ddm[:, None, :]
-        solid, is_set, fc, active = node_masks(meta_blk)
-        uns = active[HX:HX + TX, HY:HY + TY] \
-            & (out_state.Tg[HX:HX + TX, HY:HY + TY] < 0.0)
-        pr_uns[pl.ds(t, 1), :] = jnp.sum(uns.astype(jnp.int32)[None],
-                                         axis=-2)
-
-    # pallas call plumbing --------------------------------------------------
-    def lead_of(f):
-        return {"S": (9,), "beta": (9,), "Yc": (4,)}.get(f, ())
-
-    def in_spec_for(f, kind):
-        if kind == "slim":
-            lead = lead_of(f)
-        elif kind == "meta":
-            lead = ()
-        else:
-            lead = (9,)
-        if lead:
-            return pl.BlockSpec(lead + (WX, WY),
-                                lambda i, j: (0, i, j),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((WX, WY), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
-
     nbt = nbx * nby
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [in_spec_for(f, "slim") for f in SLIM_BIG]
-                + [in_spec_for(f, "meta") for f in META_BIG]
-                + [in_spec_for(None, "src")]
-                + [pl.BlockSpec(memory_space=pltpu.SMEM)
-                   for _ in CHEM_FIELDS])
 
-    def out_spec_for(f):
-        lead = lead_of(f)
-        if lead:
-            return pl.BlockSpec(lead + (TX, TY), lambda i, j: (0, i, j),
+    def make_fused(KK):
+        """pallas_call running KK fused iterations per invocation."""
+
+        def kernel(scal_ref, *refs):
+            slim_refs = refs[:len(SLIM_BIG)]
+            meta_refs = refs[len(SLIM_BIG):len(SLIM_BIG) + len(META_BIG)]
+            src_ref = refs[len(SLIM_BIG) + len(META_BIG)]
+            chem_refs = refs[n_in:n_in + len(CHEM_FIELDS)]
+            k0 = n_in + len(CHEM_FIELDS)
+            out_refs = refs[k0:k0 + len(SLIM_BIG)]
+            pr_num, pr_den, pr_max, pr_uns = refs[k0 + len(SLIM_BIG):
+                                                  k0 + len(SLIM_BIG) + 4]
+
+            ti = pl.program_id(0)
+            tj = pl.program_id(1)
+            first = (ti == 0) & (tj == 0)
+
+            @pl.when(first)
+            def _init():
+                pr_num[...] = jnp.zeros_like(pr_num)
+                pr_den[...] = jnp.zeros_like(pr_den)
+                pr_max[...] = jnp.zeros_like(pr_max)
+                pr_uns[...] = jnp.zeros_like(pr_uns)
+
+            mvals = {f: meta_refs[k][...] for k, f in enumerate(META_BIG)}
+            slim = SlimState(
+                **{f: slim_refs[k][...] for k, f in enumerate(SLIM_BIG)},
+                dt=scal_ref[0].astype(dtype))
+            zi32 = jnp.zeros((WX, WY), jnp.int32)
+            meta_blk = GridMeta(NGX=zi32.astype(jnp.int8),
+                                NGY=zi32.astype(jnp.int8),
+                                i_wall=zi32, j_wall=zi32, **mvals)
+            src_w = src_ref[...]
+
+            # chem tables live in SMEM; materialize them as static tuples
+            # of scalar reads (table_lookup indexes knots statically) —
+            # rank-1 VMEM vectors crash Mosaic layout inference
+            def chem_leaf(k, f):
+                size = getattr(chem, f).shape[0]
+                if size == 1:
+                    return chem_refs[k][0]
+                return tuple(chem_refs[k][i] for i in range(size))
+            chem_blk = ChemTables(**{f: chem_leaf(k, f)
+                                     for k, f in enumerate(CHEM_FIELDS)})
+
+            j0 = tj * TY - HY   # global j of window row 0 (clamped rows
+            #                     are only read as masked neighbors)
+            # static decode once per invocation, shared by all KK iterations
+            ctx_blk = build_static_ctx(meta_blk, p_blk, j0)
+            active_c = ctx_blk.active[HX:HX + TX, HY:HY + TY]
+
+            for i in range(KK):
+                base = 1 + 6 * i
+                aux_g = StepAux(beta_scen=scal_ref[base + 0].astype(dtype),
+                                cfl_scen=scal_ref[base + 1].astype(dtype),
+                                is_mu_t_iter=scal_ref[base + 2] > 0.5)
+                aux_p = StepAux(beta_scen=scal_ref[base + 3].astype(dtype),
+                                cfl_scen=scal_ref[base + 4].astype(dtype),
+                                is_mu_t_iter=scal_ref[base + 5] > 0.5)
+
+                full = expand(slim, p_blk, src_w)
+                out_state, _, _ = gfc(full, meta_blk, p_blk, chem_blk,
+                                      aux_g, j0=j0, return_fields=True,
+                                      ctx=ctx_blk)
+                out_state = SolverState(**{**out_state.__dict__,
+                                           "dt": slim.dt})
+                S_c, beta_c, _, _, fields = pass12(out_state, meta_blk,
+                                                   p_blk, aux_p, j0=j0,
+                                                   return_fields=True,
+                                                   ctx=ctx_blk)
+                slim = SlimState(
+                    **{f: getattr(out_state, f) for f in SLIM_BIG
+                       if f not in ("S", "beta")},
+                    S=S_c, beta=beta_c, dt=slim.dt)
+
+                # ---- center partial reductions, accumulated in-place ----
+                # reduce ONLY the row axis: (9,TX,TY) -> (9,TY) (a full
+                # reduction would create a rank-1 intermediate, which
+                # crashes Mosaic layout inference; the TY reduction runs
+                # outside the kernel in XLA)
+                gate = fields["gate"][:, HX:HX + TX, HY:HY + TY]
+                abs_dd = fields["abs_dd"][:, HX:HX + TX, HY:HY + TY]
+                tmp = fields["tmp"][:, HX:HX + TX, HY:HY + TY]
+                dd_l = fields["dd_local"][:, HX:HX + TX, HY:HY + TY]
+                if p.isAlternateRMS:
+                    acc = abs_dd if p.serial_rms_mode else abs_dd * abs_dd
+                    num = jnp.sum(jnp.where(gate, acc, 0.0), axis=-2)
+                    den = jnp.sum(jnp.where(gate, tmp * tmp, 0.0), axis=-2)
+                else:
+                    num = jnp.sum(jnp.where(gate, dd_l * dd_l, 0.0),
+                                  axis=-2)
+                    den = jnp.sum(gate, axis=-2).astype(dtype)
+                ddm = jnp.max(jnp.where(gate, dd_l, 0.0), axis=-2)
+                pr_num[:, pl.ds(i, 1), :] = (pr_num[:, pl.ds(i, 1), :]
+                                             + num[:, None, :])
+                pr_den[:, pl.ds(i, 1), :] = (pr_den[:, pl.ds(i, 1), :]
+                                             + den[:, None, :])
+                pr_max[:, pl.ds(i, 1), :] = jnp.maximum(
+                    pr_max[:, pl.ds(i, 1), :], ddm[:, None, :])
+                uns = active_c & (out_state.Tg[HX:HX + TX,
+                                               HY:HY + TY] < 0.0)
+                pr_uns[pl.ds(i, 1), :] = (
+                    pr_uns[pl.ds(i, 1), :]
+                    + jnp.sum(uns.astype(jnp.int32)[None], axis=-2))
+
+            # ---- write center crops of the final carry -------------------
+            for k, f in enumerate(SLIM_BIG):
+                out_refs[k][...] = getattr(slim, f)[..., HX:HX + TX,
+                                                    HY:HY + TY]
+
+        # pallas call plumbing ------------------------------------------------
+        def lead_of(f):
+            return {"S": (9,), "beta": (9,), "Yc": (4,)}.get(f, ())
+
+        def in_spec_for(f, kind):
+            if kind == "slim":
+                lead = lead_of(f)
+            elif kind == "meta":
+                lead = ()
+            else:
+                lead = (9,)
+            if lead:
+                return pl.BlockSpec(lead + (WX, WY),
+                                    lambda i, j: (0, i, j),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((WX, WY), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((TX, TY), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
 
-    # whole-array accumulator blocks (constant index_map => the block
-    # persists across the sequential TPU grid; each program writes its own
-    # row with a dynamic store)
-    out_specs = ([out_spec_for(f) for f in SLIM_BIG]
-                 + [pl.BlockSpec((9, nbt, TY), lambda i, j: (0, 0, 0),
-                                 memory_space=pltpu.VMEM)] * 3
-                 + [pl.BlockSpec((nbt, TY), lambda i, j: (0, 0),
-                                 memory_space=pltpu.VMEM)])
+        in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [in_spec_for(f, "slim") for f in SLIM_BIG]
+                    + [in_spec_for(f, "meta") for f in META_BIG]
+                    + [in_spec_for(None, "src")]
+                    + [pl.BlockSpec(memory_space=pltpu.SMEM)
+                       for _ in CHEM_FIELDS])
 
-    def out_shapes():
-        shapes = [jax.ShapeDtypeStruct(lead_of(f) + (Xp, Yp), dtype)
-                  for f in SLIM_BIG]
-        shapes += [jax.ShapeDtypeStruct((9, nbt, TY), dtype),
-                   jax.ShapeDtypeStruct((9, nbt, TY), dtype),
-                   jax.ShapeDtypeStruct((9, nbt, TY), dtype),
-                   jax.ShapeDtypeStruct((nbt, TY), jnp.int32)]
-        return shapes
+        def out_spec_for(f):
+            lead = lead_of(f)
+            if lead:
+                return pl.BlockSpec(lead + (TX, TY), lambda i, j: (0, i, j),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((TX, TY), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
 
-    fused = pl.pallas_call(
-        kernel,
-        grid=(nbx, nby),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes(),
-        interpret=(jax.default_backend() == "cpu"))
+        # whole-array accumulator blocks (constant index_map => the block
+        # persists across the sequential TPU grid; each program accumulates
+        # its center partials into the per-inner-iteration rows)
+        out_specs = ([out_spec_for(f) for f in SLIM_BIG]
+                     + [pl.BlockSpec((9, KK, TY), lambda i, j: (0, 0, 0),
+                                     memory_space=pltpu.VMEM)] * 3
+                     + [pl.BlockSpec((KK, TY), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM)])
+
+        out_shapes = ([jax.ShapeDtypeStruct(lead_of(f) + (Xp, Yp), dtype)
+                       for f in SLIM_BIG]
+                      + [jax.ShapeDtypeStruct((9, KK, TY), dtype)] * 3
+                      + [jax.ShapeDtypeStruct((KK, TY), jnp.int32)])
+
+        return pl.pallas_call(
+            kernel,
+            grid=(nbx, nby),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
+            interpret=(jax.default_backend() == "cpu"))
+
+    fused_k = make_fused(K)
+    fused_cache = {K: fused_k}
 
     # ------------------------------------------------------------------
     solid_m, is_set_m, fc_m, active_m = node_masks(meta)
+    ctx_g = build_static_ctx(meta, p)
 
     def scan_dt(slim, cfl_scen):
         """Global dt reduction from the carried primitives
@@ -256,51 +297,76 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
             dt_new = jnp.minimum(dt_new, slim.dt)
         return dt_new.astype(dtype)
 
-    def rotated(slim, k):
-        aux_g = aux_at(k)
-        aux_p = aux_at(k + 1)
-        dt_k = scan_dt(slim, aux_g.cfl_scen)
-        scal = jnp.stack([
-            dt_k.astype(jnp.float32),
-            aux_g.beta_scen.astype(jnp.float32),
-            aux_g.cfl_scen.astype(jnp.float32),
-            aux_g.is_mu_t_iter.astype(jnp.float32),
-            aux_p.beta_scen.astype(jnp.float32),
-            aux_p.cfl_scen.astype(jnp.float32),
-            aux_p.is_mu_t_iter.astype(jnp.float32)])
-        ins = ([explode(getattr(slim, f)) for f in SLIM_BIG]
-               + [meta_ex[f] for f in META_BIG] + [src_ex]
-               + [getattr(chem, f) for f in CHEM_FIELDS])
-        outs = fused(scal, *ins)
-        new_leaves = [a[..., :X, :Y] for a in outs[:len(SLIM_BIG)]]
-        num, den, ddm, uns = outs[len(SLIM_BIG):]
-        slim2 = SlimState(**dict(zip(SLIM_BIG, new_leaves)), dt=dt_k)
-        nsum = num.sum((1, 2))
-        dsum = den.sum((1, 2))
-        if p.isAlternateRMS:
-            fb = 0.0 if p.serial_rms_mode else nsum
-            rms = jnp.where((nsum > 0) & (dsum > 0),
-                            jnp.sqrt(_safe_div(nsum, dsum)), fb)
-        else:
-            rms = jnp.where(dsum > 0, jnp.sqrt(_safe_div(nsum, dsum)),
-                            nsum)
-        diag = {"RMS": rms, "DD_max": ddm.max((1, 2)), "dt_used": dt_k,
-                "unstable": uns.sum() > 0}
-        return slim2, diag
+    def make_block(KK):
+        if KK not in fused_cache:
+            fused_cache[KK] = make_fused(KK)
+        fused = fused_cache[KK]
+
+        def block(slim, kbase):
+            """Run iterations kbase .. kbase+KK-1 (gfc stage) paired with
+            pass12 at kbase+1 .. kbase+KK; dt frozen at block entry."""
+            aux0 = aux_at(kbase)
+            dt_k = scan_dt(slim, aux0.cfl_scen)
+            scal = [dt_k.astype(jnp.float32)]
+            for i in range(KK):
+                aux_g = aux_at(kbase + i)
+                aux_p = aux_at(kbase + i + 1)
+                scal += [aux_g.beta_scen.astype(jnp.float32),
+                         aux_g.cfl_scen.astype(jnp.float32),
+                         aux_g.is_mu_t_iter.astype(jnp.float32),
+                         aux_p.beta_scen.astype(jnp.float32),
+                         aux_p.cfl_scen.astype(jnp.float32),
+                         aux_p.is_mu_t_iter.astype(jnp.float32)]
+            scal = jnp.stack(scal)
+            ins = ([explode(getattr(slim, f)) for f in SLIM_BIG]
+                   + [meta_ex[f] for f in META_BIG] + [src_ex]
+                   + [getattr(chem, f) for f in CHEM_FIELDS])
+            outs = fused(scal, *ins)
+            new_leaves = [a[..., :X, :Y] for a in outs[:len(SLIM_BIG)]]
+            num, den, ddm, uns = outs[len(SLIM_BIG):]
+            slim2 = SlimState(**dict(zip(SLIM_BIG, new_leaves)), dt=dt_k)
+            nsum = num.sum(-1)                      # (9, KK)
+            dsum = den.sum(-1)
+            if p.isAlternateRMS:
+                fb = 0.0 if p.serial_rms_mode else nsum
+                rms = jnp.where((nsum > 0) & (dsum > 0),
+                                jnp.sqrt(_safe_div(nsum, dsum)), fb)
+            else:
+                rms = jnp.where(dsum > 0, jnp.sqrt(_safe_div(nsum, dsum)),
+                                nsum)
+            diag = {"RMS": rms.T,                       # (KK, 9)
+                    "DD_max": ddm.max(-1).T,            # (KK, 9)
+                    "dt_used": jnp.broadcast_to(dt_k, (KK,)),
+                    "unstable": uns.sum(-1) > 0}        # (KK,)
+            return slim2, diag
+
+        return block
+
+    block_k = make_block(K)
 
     def chunk(state: SolverState, n_iters: int, start_iter):
         aux0 = aux_at(start_iter)
-        S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0)
+        S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0, ctx=ctx_g)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
                                      "beta": beta_c}))
-        if n_iters > 1:
-            ks = start_iter + jnp.arange(n_iters - 1)
-            slim, diags = jax.lax.scan(rotated, slim, ks)
-        else:
-            diags = None
+        nb, rem = divmod(n_iters - 1, K)
+        diags = None
+        if nb:
+            ks = start_iter + K * jnp.arange(nb)
+            slim, diags = jax.lax.scan(block_k, slim, ks)
+            # flatten (nb, K, ...) -> (nb*K, ...)
+            diags = jax.tree.map(
+                lambda a: a.reshape((nb * K,) + a.shape[2:]), diags)
+        if rem:
+            slim, d2 = make_block(rem)(slim,
+                                       start_iter + nb * K)
+            diags = (d2 if diags is None else
+                     jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
+                                  diags, d2))
         full = expand(slim, p, src_ext)
         out, dt_new, unstable_last = gfc(full, meta, p, chem,
-                                         aux_at(start_iter + n_iters - 1))
+                                         aux_at(start_iter + n_iters - 1),
+                                         ctx=ctx_g)
         out = SolverState(**{**out.__dict__, "dt": dt_new})
 
         def lead(a, b):

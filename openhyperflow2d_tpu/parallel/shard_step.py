@@ -32,6 +32,7 @@ from jax.experimental.shard_map import shard_map
 from ..core import flags as fl
 from ..core.physics import node_masks, _safe_div
 from ..core.state import ChemTables, GridMeta, SolverParams, SolverState
+from ..core.static_ctx import build_static_ctx
 from ..core.step import (SlimState, StepAux, expand, gfc, make_aux, pass12,
                          shrink, _SLIM_FIELDS)
 
@@ -79,14 +80,14 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
     def crop(a):
         return a[..., H:-H, :]
 
-    def body(meta_ext, src_ext_loc, active_ext, slim, k):
+    def body(meta_ext, src_ext_loc, active_ext, ctx_ext, slim, k):
         aux_g = aux_at(k)
         aux_p = aux_at(k + 1)
         slim_ext = SlimState(**{f: ext(getattr(slim, f))
                                 for f in SLIM_BIG}, dt=slim.dt)
         full = expand(slim_ext, p_loc, src_ext_loc)
         out, dt_field, unstable = gfc(full, meta_ext, p_loc, chem, aux_g,
-                                      j0=0, return_fields=True)
+                                      j0=0, return_fields=True, ctx=ctx_ext)
         # reduce the pre-chemistry per-node dt over the shard interior, then
         # globally (the reference's per-rank min + Bcast,
         # deeps2d_core.cpp:805-825)
@@ -95,7 +96,8 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
             dt_new = jnp.minimum(dt_new, slim.dt)
         out = SolverState(**{**out.__dict__, "dt": dt_new.astype(dtype)})
         S_c, beta_c, _, _, fields = pass12(out, meta_ext, p_loc, aux_p,
-                                           j0=0, return_fields=True)
+                                           j0=0, return_fields=True,
+                                           ctx=ctx_ext)
         new_slim = SlimState(
             **{f: crop(getattr(out, f)) for f in SLIM_BIG
                if f not in ("S", "beta")},
@@ -135,9 +137,10 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
             for f in META_FIELDS})
         src_ext_loc = ext(src_loc)
         _, _, _, active_ext = node_masks(meta_ext)
+        ctx_ext = build_static_ctx(meta_ext, p_loc)
         ks = start_iter + jnp.arange(n_iters - 1)
         slim_f, diags = lax.scan(partial(body, meta_ext, src_ext_loc,
-                                         active_ext), slim0, ks)
+                                         active_ext, ctx_ext), slim0, ks)
         return tuple(getattr(slim_f, f) for f in _SLIM_FIELDS), diags
 
     spec_x = P(None, "x", None)
@@ -166,9 +169,11 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
             return P()
         return spec_x if slim_ranks.get(f, 2) == 3 else spec_x2
 
+    ctx_g = build_static_ctx(meta, p)
+
     def chunk(state: SolverState, n_iters: int, start_iter):
         aux0 = aux_at(start_iter)
-        S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0)
+        S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0, ctx=ctx_g)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
                                      "beta": beta_c}))
         slim_pad = SlimState(**{f: _pad_x(getattr(slim, f), px)
@@ -194,7 +199,8 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
                             for f in SLIM_BIG}, dt=slim_pad.dt)
         full = expand(slim, p, src_ext)
         out, dt_new, unstable_last = gfc(full, meta, p, chem,
-                                         aux_at(start_iter + n_iters - 1))
+                                         aux_at(start_iter + n_iters - 1),
+                                         ctx=ctx_g)
         out = SolverState(**{**out.__dict__, "dt": dt_new})
 
         def lead(a, b):

@@ -19,6 +19,7 @@ semantically relevant:
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass, field
 
@@ -522,6 +523,23 @@ def build_case(deck: Deck, dtype: str = "float64",
         my = deck.get_float(f"Point-{i}.Y")
         if 0 <= mx <= MaxX * dx and 0 <= my <= MaxY * dy:
             monitor_points.append(MonitorPoint(mx, my))
+
+    # ---- static specialization: which turbulence-model / wall code paths
+    # can any node of THIS case reach?  XLA then compiles only those
+    # (jnp.where masks that are provably all-false are skipped statically).
+    models = []
+    if (grid.TCT & np.int64(fl.TCT_Prandtl_Model_2D)).any():
+        models.append("prandtl")
+    if (grid.TCT & np.int64(fl.TCT_k_eps_Model_2D)).any():
+        models.append("keps")
+    if (grid.TCT & np.int64(fl.TCT_Spalart_Allmaras_Model_2D)).any():
+        models.append("sa")
+    if (grid.TCT & np.int64(fl.TCT_Smagorinsky_Model_2D)).any():
+        models.append("smag")
+    has_walls = bool(grid.is_cond(fl.CT_WALL_NO_SLIP_2D).any()
+                     | grid.is_cond(fl.CT_WALL_LAW_2D).any())
+    params = dataclasses.replace(params, models=tuple(models),
+                                 has_walls=has_walls)
 
     return Case(
         deck=deck, grid=grid, params=params, chem=chem,

@@ -43,9 +43,10 @@ class Solver:
     """Single-driver solver over one (possibly sharded) device state."""
 
     def __init__(self, case: Case, shardings=None, use_pallas: bool = False,
-                 pallas_tile=(64, 64)):
+                 pallas_tile=(64, 64), pallas_fuse: int = 1):
         self.use_pallas = use_pallas
         self.pallas_tile = pallas_tile
+        self.pallas_fuse = pallas_fuse
         self._init_common(case, shardings)
 
     def _init_common(self, case: Case, shardings=None):
@@ -90,7 +91,8 @@ class Solver:
                 self.meta, self.params, self.chem,
                 (self.beta_xs, self.beta_ys), (self.cfl_xs, self.cfl_ys),
                 self.params.TurbStartIter, self._src_ext,
-                tile=self.pallas_tile)
+                tile=self.pallas_tile,
+                fuse_iters=getattr(self, "pallas_fuse", 1))
         return make_fast_chunk(
             self.meta, self.params, self.chem,
             (self.beta_xs, self.beta_ys), (self.cfl_xs, self.cfl_ys),

@@ -71,3 +71,41 @@ def test_pallas_non_multiple_grid():
     b = np.asarray(pal.state.p)
     rel = np.abs(a - b) / np.abs(a).max()
     assert rel.max() < 5e-3
+
+
+@pytest.mark.parametrize("fuse", [2, 3])
+def test_pallas_fused_exact_on_freestream(fuse):
+    """Temporal blocking (K fused iterations per kernel launch): on a
+    uniform stream dt inputs are stationary, so the block-frozen dt equals
+    the per-iteration dt and results must match the XLA path bitwise.
+    n_iters=6 with K=3 exercises the remainder-block path too (6-1=5=3+2).
+    """
+    ref = Solver(build_case(freestream_deck(problem_type=1, nx=48, ny=32)))
+    pal = Solver(build_case(freestream_deck(problem_type=1, nx=48, ny=32)),
+                 use_pallas=True, pallas_tile=(16, 16), pallas_fuse=fuse)
+    ref.run_iters(6)
+    d = pal.run_iters(6)
+    assert not np.asarray(d["unstable"]).any()
+    assert np.asarray(d["RMS"]).shape[0] == 6
+    for f in ["S", "beta", "U", "V", "p", "Tg", "mu_t", "R", "CP"]:
+        a = np.asarray(getattr(ref.state, f))
+        b = np.asarray(getattr(pal.state, f))
+        np.testing.assert_allclose(b, a, atol=1e-20)
+
+
+def test_pallas_fused_close_on_reacting():
+    """K>1 freezes dt within blocks (documented deviation): fields stay
+    within the dt-sensitivity envelope of the K=1 kernel."""
+    p1 = Solver(build_case(reacting_rans_deck(48, 40)),
+                use_pallas=True, pallas_tile=(16, 16))
+    p4 = Solver(build_case(reacting_rans_deck(48, 40)),
+                use_pallas=True, pallas_tile=(16, 16), pallas_fuse=4)
+    d1 = p1.run_iters(9)
+    d4 = p4.run_iters(9)
+    assert not np.asarray(d4["unstable"]).any()
+    assert np.asarray(d4["RMS"]).shape == np.asarray(d1["RMS"]).shape
+    for f in ["S", "U", "p", "Tg"]:
+        a = np.asarray(getattr(p1.state, f))
+        b = np.asarray(getattr(p4.state, f))
+        rel = np.abs(a - b) / (np.abs(a).max() + 1e-30)
+        assert rel.max() < 5e-3, (f, rel.max())
