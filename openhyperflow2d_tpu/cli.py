@@ -40,6 +40,16 @@ def main(argv=None):
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--restore", default=None,
                     help="checkpoint file to resume from")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the fused Pallas TPU kernel (fastest path; "
+                    "dt lags up to --fuse iterations, see ops/pallas_step)")
+    ap.add_argument("--pallas-tile", default="128x256",
+                    help="Pallas tile TXxTY")
+    ap.add_argument("--fuse", type=int, default=4,
+                    help="iterations fused per Pallas kernel launch")
+    ap.add_argument("--fast-math", action="store_true",
+                    help="reciprocal-multiply transforms (ulp-level "
+                    "rounding changes)")
     args = ap.parse_args(argv)
 
     import jax
@@ -61,6 +71,7 @@ def main(argv=None):
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
+    os.makedirs(args.outdir, exist_ok=True)
     print(f"Load {args.deck!r} ...", flush=True)
     deck = load_deck(args.deck)
     case = build_case(deck, dtype=dtype, serial_dt_mode=args.serial_dt)
@@ -68,7 +79,12 @@ def main(argv=None):
     print(f"X={case.params.MaxX} Y={case.params.MaxY} "
           f"dx={case.params.dx} dy={case.params.dy} dtype={dtype}")
 
-    solver = Solver(case)
+    if args.fast_math:
+        import dataclasses
+        case.params = dataclasses.replace(case.params, fast_math=True)
+    tile = tuple(int(v) for v in args.pallas_tile.split("x"))
+    solver = Solver(case, use_pallas=args.pallas, pallas_tile=tile,
+                    pallas_fuse=args.fuse)
     n_dev = args.devices or len(jax.devices())
     if n_dev > 1:
         shard_solver(solver, make_mesh(n_dev))

@@ -153,7 +153,8 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     abs_dd = next_s - tmp
     big = jnp.abs(tmp) > 1.e-15
     dd_local = jnp.where(big, jnp.abs(_safe_div(abs_dd, tmp)), 1.0)
-    sqrt_res = jnp.where(big, jnp.sqrt(dd_local), 0.0)
+    if p.bff in (fl.BFF_SQR, fl.BFF_SQRR):
+        sqrt_res = jnp.where(big, jnp.sqrt(dd_local), 0.0)
 
     beta_min = jnp.minimum(jnp.asarray(p.beta0, dtype), aux.beta_scen)
     beta_min = jnp.where(ctx.nrbc, jnp.asarray(p.nrbc_beta0, dtype),
