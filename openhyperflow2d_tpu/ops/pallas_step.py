@@ -61,7 +61,7 @@ CHEM_FIELDS = [f.name for f in ChemTables.__dataclass_fields__.values()]
 def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                       chem: ChemTables, beta_tab, cfl_tab, turb_start,
                       src_ext, tile=(64, 128), fuse_iters: int = 1,
-                      vmem_limit_bytes=100 * 1024 * 1024):
+                      vmem_limit_bytes=None):
     """Build chunk(state, n_iters, start_iter) running the fused kernel.
 
     Matches make_fast_chunk's interface and prologue/epilogue structure.
@@ -71,6 +71,9 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
     fused kernel's live-plane stack exceeds it for tiles past (64, 128)
     (v5e has 128 MB VMEM).
     """
+    import os
+    if vmem_limit_bytes is None:
+        vmem_limit_bytes = int(os.environ.get("HF2D_VMEM_MB", "110")) << 20
     p = params
     K = int(fuse_iters)
     assert K >= 1 and 3 * K <= 64, "fuse_iters limited by the Y halo (64)"
@@ -88,16 +91,17 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
     WX, WY = TX + 2 * HX, TY + 2 * HY
     dtype = p.jdtype
 
-    # exploded-window gather indices (clamped = edge replication)
-    xi = np.clip((np.arange(nbx * WX) // WX) * TX
-                 + np.arange(nbx * WX) % WX - HX, 0, X - 1)
-    yj = np.clip((np.arange(nby * WY) // WY) * TY
-                 + np.arange(nby * WY) % WY - HY, 0, Y - 1)
-    xi = jnp.asarray(xi, jnp.int32)
-    yj = jnp.asarray(yj, jnp.int32)
-
+    # exploded-window layout via edge-replicated pad + static slices
+    # (equivalent to a clamped-index gather, but XLA lowers static
+    # slice+concat much faster than a dynamic 2-level take)
     def explode(a):
-        return jnp.take(jnp.take(a, xi, axis=-2), yj, axis=-1)
+        pad = [(0, 0)] * (a.ndim - 2) + [(HX, Xp - X + HX),
+                                         (HY, Yp - Y + HY)]
+        ap = jnp.pad(a, pad, mode="edge")
+        ap = jnp.concatenate([ap[..., i * TX:i * TX + WX, :]
+                              for i in range(nbx)], axis=-2)
+        return jnp.concatenate([ap[..., :, j * TY:j * TY + WY]
+                                for j in range(nby)], axis=-1)
 
     # static inputs exploded once at trace time
     meta_ex = {f: explode(getattr(meta, f)) for f in META_BIG}
