@@ -14,12 +14,12 @@ out, which needs gradients three cells out); K iterations need 3K.
 Overlapping halo windows are not expressible as standard (aligned,
 disjoint) BlockSpec blocks, and manual HBM->VMEM DMAs require
 128-lane-aligned slices, so the inputs are staged through an "exploded"
-layout: an XLA gather with clamped indices lays each tile's
-(TX+2HX, TY+2HY) window out contiguously (edge clamping == the XLA path's
-edge-replicated shifts; out-of-range values are masked by the reference's
-idXl/idXr/idYu/idYd neighbor flags).  The kernel then runs a standard
-auto-pipelined BlockSpec grid, computes everything redundantly on the
-halo, and writes back only the (TX, TY) center.  Alignment forces
+layout: edge-replicated pad + static slice/concat lays each tile's
+(TX+2HX, TY+2HY) window out contiguously (edge replication == the XLA
+path's edge-replicated shifts; out-of-range values are masked by the
+reference's idXl/idXr/idYu/idYd neighbor flags).  The kernel then runs a
+standard auto-pipelined BlockSpec grid, computes everything redundantly
+on the halo, and writes back only the (TX, TY) center.  Alignment forces
 HY = 64 >= 3K (so temporal blocking in Y is free up to K=21) and
 HX = 3K rounded up to a multiple of 4.  The explosion costs one extra
 HBM round trip of the ~33-plane carry per K iterations.
@@ -32,9 +32,17 @@ lag relative to the reference's already-lagged dt (deeps2d_core.cpp:
 805-825); for K>1 the lag grows to at most K iterations.  CFL-limited dt
 drifts O(1e-3) relative per iteration; the XLA path keeps the
 reference-exact pairing and remains the validation reference.
+
+``_machinery`` is shared with the multi-chip path
+(parallel/shard_step.make_pallas_shard_chunk): each shard runs the same
+fused kernel on its halo-extended local block, with ppermute halo
+exchange once per K-iteration block and pmin/psum hooks for the dt/RMS
+reductions.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,24 +66,30 @@ META_BIG = ["CT", "TCT", "idXl", "idXr", "idYu", "idYd", "BGX", "BGY",
 CHEM_FIELDS = [f.name for f in ChemTables.__dataclass_fields__.values()]
 
 
-def make_pallas_chunk(meta: GridMeta, params: SolverParams,
-                      chem: ChemTables, beta_tab, cfl_tab, turb_start,
-                      src_ext, tile=(64, 128), fuse_iters: int = 1,
-                      vmem_limit_bytes=None):
-    """Build chunk(state, n_iters, start_iter) running the fused kernel.
-
-    Matches make_fast_chunk's interface and prologue/epilogue structure.
-    ``fuse_iters`` (K) fuses K whole iterations per kernel launch (see
-    module docstring for the dt-freezing semantics).  ``vmem_limit_bytes``
-    raises Mosaic's VMEM budget above the 16 MB default scoped limit — the
-    fused kernel's live-plane stack exceeds it for tiles past (64, 128)
-    (v5e has 128 MB VMEM).
-    """
-    import os
+def _default_vmem(vmem_limit_bytes):
     if vmem_limit_bytes is None:
-        vmem_limit_bytes = int(os.environ.get("HF2D_VMEM_MB", "110")) << 20
+        return int(os.environ.get("HF2D_VMEM_MB", "110")) << 20
+    return vmem_limit_bytes
+
+
+def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
+               tile, K, vmem_limit_bytes, interior_x=None,
+               red_sum=None, red_max=None, red_min=None):
+    """Build (make_block, aux_at, scan_dt) for the fused kernel.
+
+    ``meta``/``src_ext`` may be traced values (the multi-chip path calls
+    this inside shard_map on the halo-extended local block).
+    ``interior_x``: optional (lo, hi) padded-X range; RMS/DD/instability
+    partials only count columns in it (shard halo columns are computed
+    redundantly on every shard and must not be double-reduced).
+    ``red_sum/red_max/red_min``: reduction hooks applied after the local
+    reduction (identity on one device; psum/pmax/pmin across a mesh).
+    """
     p = params
-    K = int(fuse_iters)
+    ident = lambda x: x     # noqa: E731
+    red_sum = red_sum or ident
+    red_max = red_max or ident
+    red_min = red_min or ident
     assert K >= 1 and 3 * K <= 64, "fuse_iters limited by the Y halo (64)"
     TX, TY = tile
     # Pallas TPU blocks must have their last two dims divisible by (8, 128):
@@ -103,7 +117,7 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         return jnp.concatenate([ap[..., :, j * TY:j * TY + WY]
                                 for j in range(nby)], axis=-1)
 
-    # static inputs exploded once at trace time
+    # static inputs exploded once (per chunk call when meta is traced)
     meta_ex = {f: explode(getattr(meta, f)) for f in META_BIG}
     src_ex = explode(src_ext)
     p_blk = SolverParams(**{**p.__dict__, "MaxX": WX, "MaxY": WY})
@@ -112,7 +126,6 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
 
     n_in = len(SLIM_BIG) + len(META_BIG) + 1   # + src_ext
-    nbt = nbx * nby
 
     def make_fused(KK):
         """pallas_call running KK fused iterations per invocation."""
@@ -164,6 +177,12 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
             # static decode once per invocation, shared by all KK iterations
             ctx_blk = build_static_ctx(meta_blk, p_blk, j0)
             active_c = ctx_blk.active[HX:HX + TX, HY:HY + TY]
+            if interior_x is not None:
+                gi = (ti * TX + jax.lax.broadcasted_iota(
+                    jnp.int32, (TX, TY), 0))
+                in_x = (gi >= interior_x[0]) & (gi < interior_x[1])
+            else:
+                in_x = None
 
             for i in range(KK):
                 base = 1 + 6 * i
@@ -195,6 +214,8 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                 # crashes Mosaic layout inference; the TY reduction runs
                 # outside the kernel in XLA)
                 gate = fields["gate"][:, HX:HX + TX, HY:HY + TY]
+                if in_x is not None:
+                    gate = gate & in_x[None]
                 abs_dd = fields["abs_dd"][:, HX:HX + TX, HY:HY + TY]
                 tmp = fields["tmp"][:, HX:HX + TX, HY:HY + TY]
                 dd_l = fields["dd_local"][:, HX:HX + TX, HY:HY + TY]
@@ -215,6 +236,8 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                     pr_max[:, pl.ds(i, 1), :], ddm[:, None, :])
                 uns = active_c & (out_state.Tg[HX:HX + TX,
                                                HY:HY + TY] < 0.0)
+                if in_x is not None:
+                    uns = uns & in_x
                 pr_uns[pl.ds(i, 1), :] = (
                     pr_uns[pl.ds(i, 1), :]
                     + jnp.sum(uns.astype(jnp.int32)[None], axis=-2))
@@ -281,12 +304,8 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                 vmem_limit_bytes=vmem_limit_bytes),
             interpret=(jax.default_backend() == "cpu"))
 
-    fused_k = make_fused(K)
-    fused_cache = {K: fused_k}
-
-    # ------------------------------------------------------------------
-    solid_m, is_set_m, fc_m, active_m = node_masks(meta)
-    ctx_g = build_static_ctx(meta, p)
+    fused_cache = {}
+    _, _, _, active_m = node_masks(meta)
 
     def scan_dt(slim, cfl_scen):
         """Global dt reduction from the carried primitives
@@ -296,7 +315,8 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         aaa = jnp.sqrt(jnp.maximum(k_new * slim.R * slim.Tg, 0.0))
         dtn = cfl_min * jnp.minimum(p.dx / (aaa + jnp.abs(slim.U)),
                                     p.dy / (aaa + jnp.abs(slim.V)))
-        dt_new = jnp.minimum(1.0, jnp.min(jnp.where(active_m, dtn, 1.0)))
+        dt_new = red_min(
+            jnp.minimum(1.0, jnp.min(jnp.where(active_m, dtn, 1.0))))
         if p.serial_dt_mode:
             dt_new = jnp.minimum(dt_new, slim.dt)
         return dt_new.astype(dtype)
@@ -329,8 +349,8 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
             new_leaves = [a[..., :X, :Y] for a in outs[:len(SLIM_BIG)]]
             num, den, ddm, uns = outs[len(SLIM_BIG):]
             slim2 = SlimState(**dict(zip(SLIM_BIG, new_leaves)), dt=dt_k)
-            nsum = num.sum(-1)                      # (9, KK)
-            dsum = den.sum(-1)
+            nsum = red_sum(num.sum(-1))             # (9, KK)
+            dsum = red_sum(den.sum(-1))
             if p.isAlternateRMS:
                 fb = 0.0 if p.serial_rms_mode else nsum
                 rms = jnp.where((nsum > 0) & (dsum > 0),
@@ -339,14 +359,36 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                 rms = jnp.where(dsum > 0, jnp.sqrt(_safe_div(nsum, dsum)),
                                 nsum)
             diag = {"RMS": rms.T,                       # (KK, 9)
-                    "DD_max": ddm.max(-1).T,            # (KK, 9)
+                    "DD_max": red_max(ddm.max(-1)).T,   # (KK, 9)
                     "dt_used": jnp.broadcast_to(dt_k, (KK,)),
-                    "unstable": uns.sum(-1) > 0}        # (KK,)
+                    "unstable": red_sum(uns.sum(-1)) > 0}        # (KK,)
             return slim2, diag
 
         return block
 
+    return make_block, aux_at, scan_dt
+
+
+def make_pallas_chunk(meta: GridMeta, params: SolverParams,
+                      chem: ChemTables, beta_tab, cfl_tab, turb_start,
+                      src_ext, tile=(64, 128), fuse_iters: int = 1,
+                      vmem_limit_bytes=None):
+    """Build chunk(state, n_iters, start_iter) running the fused kernel.
+
+    Matches make_fast_chunk's interface and prologue/epilogue structure.
+    ``fuse_iters`` (K) fuses K whole iterations per kernel launch (see
+    module docstring for the dt-freezing semantics).  ``vmem_limit_bytes``
+    raises Mosaic's VMEM budget above the 16 MB default scoped limit — the
+    fused kernel's live-plane stack exceeds it for tiles past (64, 128)
+    (v5e has 128 MB VMEM).
+    """
+    p = params
+    K = int(fuse_iters)
+    make_block, aux_at, _ = _machinery(
+        meta, p, chem, beta_tab, cfl_tab, turb_start, src_ext, tile, K,
+        _default_vmem(vmem_limit_bytes))
     block_k = make_block(K)
+    ctx_g = build_static_ctx(meta, p)
 
     def chunk(state: SolverState, n_iters: int, start_iter):
         aux0 = aux_at(start_iter)
@@ -362,8 +404,7 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
             diags = jax.tree.map(
                 lambda a: a.reshape((nb * K,) + a.shape[2:]), diags)
         if rem:
-            slim, d2 = make_block(rem)(slim,
-                                       start_iter + nb * K)
+            slim, d2 = make_block(rem)(slim, start_iter + nb * K)
             diags = (d2 if diags is None else
                      jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
                                   diags, d2))

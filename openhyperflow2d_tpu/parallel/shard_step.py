@@ -223,3 +223,183 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
         return out, all_diag
 
     return chunk
+
+
+def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
+                            chem: ChemTables, beta_tab, cfl_tab,
+                            turb_start, src_ext, mesh: Mesh,
+                            tile=(64, 128), fuse_iters: int = 4,
+                            vmem_limit_bytes=None):
+    """Multi-chip fused-Pallas inner loop: X-strip decomposition where
+    every shard runs the fused kernel (ops/pallas_step) on its
+    halo-extended local block.
+
+    The TPU-native analog of the reference's MPI strips (SURVEY §2.8) at
+    kernel granularity: per block of K = ``fuse_iters`` iterations each
+    shard ppermutes 3K boundary columns to its neighbors (one ICI hop,
+    amortized over the K fused iterations), runs the kernel, and crops the
+    interior.  dt is lax.pmin'ed at block entry and frozen for the block
+    (same semantics as the single-chip fused path); RMS/DD/instability
+    partials are psum'ed with the shard-halo columns masked out so no cell
+    is double-counted.  Global-boundary halos reuse the zero-CT trick of
+    ``make_shard_chunk``: the wrap columns are never read (the boundary
+    nodes' own idXl/idXr flags collapse the stencil) and never computed on.
+    """
+    from ..core.static_ctx import build_static_ctx as _bsc
+    from ..ops.pallas_step import _default_vmem, _machinery
+
+    p = params
+    K = int(fuse_iters)
+    H = HALO * K
+    n = mesh.shape["x"]
+    X, Y = p.MaxX, p.MaxY
+    px = (-X) % n
+    Xp = X + px
+    X_loc = Xp // n
+    Xext = X_loc + 2 * H
+    dtype = p.jdtype
+    vmem = _default_vmem(vmem_limit_bytes)
+
+    meta_pad = GridMeta(**{f: _pad_x(getattr(meta, f), px)
+                           for f in META_FIELDS})
+    src_pad = _pad_x(src_ext, px)
+    p_loc = SolverParams(**{**p.__dict__, "MaxX": Xext})
+
+    def aux_at(it):
+        return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+
+    def ext(a, zero_edge=False):
+        left = lax.ppermute(a[..., -H:, :], "x", fwd)    # from left nbr
+        right = lax.ppermute(a[..., :H, :], "x", bwd)    # from right nbr
+        if zero_edge:
+            idx = lax.axis_index("x")
+            left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+            right = jnp.where(idx == n - 1, jnp.zeros_like(right), right)
+        return jnp.concatenate([left, a, right], axis=-2)
+
+    def crop(a):
+        return a[..., H:H + X_loc, :]
+
+    def sharded_inner(meta_leaves, src_loc, slim_leaves, start_iter,
+                      n_iters):
+        meta_loc = GridMeta(**dict(zip(META_FIELDS, meta_leaves)))
+        slim0 = SlimState(**dict(zip(_SLIM_FIELDS, slim_leaves)))
+        meta_ext = GridMeta(**{
+            f: ext(getattr(meta_loc, f),
+                   zero_edge=(f in ("CT", "TCT", "idXl", "idXr",
+                                    "idYu", "idYd")))
+            for f in META_FIELDS})
+        src_ext_loc = ext(src_loc)
+        make_block, _, _ = _machinery(
+            meta_ext, p_loc, chem, beta_tab, cfl_tab, turb_start,
+            src_ext_loc, tile, K, vmem, interior_x=(H, H + X_loc),
+            red_sum=lambda x: lax.psum(x, "x"),
+            red_max=lambda x: lax.pmax(x, "x"),
+            red_min=lambda x: lax.pmin(x, "x"))
+
+        def make_body(KK):
+            blk = make_block(KK)
+
+            def body(slim, kbase):
+                slim_ext = SlimState(
+                    **{f: ext(getattr(slim, f)) for f in SLIM_BIG},
+                    dt=slim.dt)
+                slim2_ext, diag = blk(slim_ext, kbase)
+                slim2 = SlimState(
+                    **{f: crop(getattr(slim2_ext, f)) for f in SLIM_BIG},
+                    dt=slim2_ext.dt)
+                return slim2, diag
+
+            return body
+
+        nb, rem = divmod(n_iters - 1, K)
+        slim = slim0
+        diags = None
+        if nb:
+            ks = start_iter + K * jnp.arange(nb)
+            slim, diags = lax.scan(make_body(K), slim, ks)
+            diags = jax.tree.map(
+                lambda a: a.reshape((nb * K,) + a.shape[2:]), diags)
+        if rem:
+            slim, d2 = make_body(rem)(slim, start_iter + nb * K)
+            diags = (d2 if diags is None else
+                     jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
+                                  diags, d2))
+        return tuple(getattr(slim, f) for f in _SLIM_FIELDS), diags
+
+    spec_x = P(None, "x", None)
+    spec_x2 = P("x", None)
+    slim_ranks = {"S": 3, "beta": 3, "Yc": 3}
+
+    def spec_for(a):
+        return spec_x if a.ndim == 3 else (spec_x2 if a.ndim == 2 else P())
+
+    def in_spec_for_slim(f):
+        if f == "dt":
+            return P()
+        return spec_x if slim_ranks.get(f, 2) == 3 else spec_x2
+
+    meta_leaves = [getattr(meta_pad, f) for f in META_FIELDS]
+    out_specs = (tuple(
+        (P() if f == "dt" else
+         (spec_x if slim_ranks.get(f, 2) == 3 else spec_x2))
+        for f in _SLIM_FIELDS), {"RMS": P(), "DD_max": P(),
+                                 "dt_used": P(), "unstable": P()})
+
+    ctx_g = build_static_ctx(meta, p)
+
+    def chunk(state: SolverState, n_iters: int, start_iter):
+        aux0 = aux_at(start_iter)
+        S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0, ctx=ctx_g)
+        slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
+                                     "beta": beta_c}))
+        slim_pad = SlimState(**{f: _pad_x(getattr(slim, f), px)
+                                for f in SLIM_BIG}, dt=slim.dt)
+        if n_iters > 1:
+            inner = shard_map(
+                partial(sharded_inner, n_iters=n_iters),
+                mesh=mesh,
+                in_specs=(tuple(spec_for(a) for a in meta_leaves),
+                          spec_x,
+                          tuple(in_spec_for_slim(f) for f in _SLIM_FIELDS),
+                          P()),
+                out_specs=out_specs,
+                check_rep=False)
+            slim_leaves, diags = inner(
+                tuple(meta_leaves), src_pad,
+                tuple(getattr(slim_pad, f) for f in _SLIM_FIELDS),
+                start_iter)
+            slim_pad = SlimState(**dict(zip(_SLIM_FIELDS, slim_leaves)))
+        else:
+            diags = None
+        slim = SlimState(**{f: getattr(slim_pad, f)[..., :X, :]
+                            for f in SLIM_BIG}, dt=slim_pad.dt)
+        full = expand(slim, p, src_ext)
+        out, dt_new, unstable_last = gfc(full, meta, p, chem,
+                                         aux_at(start_iter + n_iters - 1),
+                                         ctx=ctx_g)
+        out = SolverState(**{**out.__dict__, "dt": dt_new})
+
+        def lead(a, b):
+            return jnp.concatenate([a[None], b], 0) if b is not None \
+                else a[None]
+
+        def trail(b, a):
+            return jnp.concatenate([b, a[None]], 0) if b is not None \
+                else a[None]
+
+        all_diag = {
+            "RMS": lead(diag0["RMS"], diags["RMS"] if diags else None),
+            "dt_used": lead(diag0["dt_used"],
+                            diags["dt_used"] if diags else None),
+            "DD_max": lead(diag0["DD_max"],
+                           diags["DD_max"] if diags else None),
+            "unstable": trail(diags["unstable"] if diags else None,
+                              unstable_last),
+        }
+        return out, all_diag
+
+    return chunk

@@ -60,3 +60,48 @@ def test_shard_step_uneven_x():
     np.testing.assert_allclose(np.asarray(sh.state.p),
                                np.asarray(ref.state.p),
                                rtol=1e-10, atol=1e-6)
+
+
+def _pallas_shard_solver(solver, n_devices, fuse=2, tile=(16, 16)):
+    from openhyperflow2d_tpu.parallel.shard_step import \
+        make_pallas_shard_chunk
+    mesh = make_mesh(n_devices)
+    solver._chunk_fn = jax.jit(make_pallas_shard_chunk(
+        solver.meta, solver.params, solver.chem,
+        (solver.beta_xs, solver.beta_ys), (solver.cfl_xs, solver.cfl_ys),
+        solver.params.TurbStartIter, solver._src_ext, mesh,
+        tile=tile, fuse_iters=fuse),
+        static_argnums=(1,))
+    return solver
+
+
+@pytest.mark.parametrize("n_devices,fuse", [(2, 2), (4, 3)])
+def test_pallas_shard_matches_single_pallas(n_devices, fuse):
+    """Multi-chip fused kernel == single-device fused kernel (same dt
+    freezing, so agreement is bitwise up to reduction associativity)."""
+    mk = lambda: build_case(reacting_rans_deck(64, 32))   # noqa: E731
+    ref = Solver(mk(), use_pallas=True, pallas_tile=(16, 16),
+                 pallas_fuse=fuse)
+    ref.run_iters(7)     # 7-1 = 6: exercises remainder for fuse=4
+    sh = _pallas_shard_solver(Solver(mk()), n_devices, fuse=fuse)
+    d = sh.run_iters(7)
+    assert not np.asarray(d["unstable"]).any()
+    for f in ["S", "beta", "U", "V", "p", "Tg"]:
+        a = np.asarray(getattr(ref.state, f))
+        b = np.asarray(getattr(sh.state, f))
+        np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-8, err_msg=f)
+    r1 = np.asarray(ref.run_iters(1)["RMS"])
+    r2 = np.asarray(sh.run_iters(1)["RMS"])
+    np.testing.assert_allclose(r2, r1, rtol=1e-8, atol=1e-12)
+
+
+def test_pallas_shard_uneven_x():
+    sh = _pallas_shard_solver(
+        Solver(build_case(channel_deck(nx=50, ny=32))), 4, fuse=2)
+    ref = Solver(build_case(channel_deck(nx=50, ny=32)),
+                 use_pallas=True, pallas_tile=(16, 16), pallas_fuse=2)
+    sh.run_iters(5)
+    ref.run_iters(5)
+    np.testing.assert_allclose(np.asarray(sh.state.p),
+                               np.asarray(ref.state.p),
+                               rtol=1e-10, atol=1e-8)
