@@ -20,3 +20,9 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 REFERENCE_TESTCASES = "/root/reference/OpenHyperFLOW2D/TestCases"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-horizon golden/scaling runs (deselect with "
+        "-m 'not slow')")
