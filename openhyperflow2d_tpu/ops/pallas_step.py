@@ -74,7 +74,7 @@ def _default_vmem(vmem_limit_bytes):
 
 def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
                tile, K, vmem_limit_bytes, interior_x=None,
-               red_sum=None, red_max=None, red_min=None):
+               red_sum=None, red_max=None, red_min=None, k_loop=None):
     """Build (make_block, aux_at, scan_dt) for the fused kernel.
 
     ``meta``/``src_ext`` may be traced values (the multi-chip path calls
@@ -90,17 +90,27 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
     red_sum = red_sum or ident
     red_max = red_max or ident
     red_min = red_min or ident
-    assert K >= 1 and 3 * K <= 64, "fuse_iters limited by the Y halo (64)"
+    if k_loop is None:
+        k_loop = os.environ.get("HF2D_KLOOP", "0") == "1"
     TX, TY = tile
     # Pallas TPU blocks must have their last two dims divisible by (8, 128):
     # round the tile up and use asymmetric halos that preserve divisibility.
-    TX = -(-TX // 8) * 8
-    TY = -(-TY // 128) * 128
-    HX = -(-(HALO * K) // 4) * 4
-    HY = 64
     X, Y = p.MaxX, p.MaxY
+    TX = min(-(-TX // 8) * 8, -(-X // 8) * 8)
+    TY = min(-(-TY // 128) * 128, -(-Y // 128) * 128)
+    HX = -(-(HALO * K) // 4) * 4
+    # Y halo: lane alignment forces HY = 64 between tiles, but when one tile
+    # spans the whole Y extent the window edge IS the grid edge (the explode
+    # pad's edge replication == the XLA path's edge-replicated shifts), so
+    # no halo is needed at all — this removes the largest redundant-compute
+    # term (e.g. 128x256 tiles: window/center 1.78x -> 1.19x at full Y) and
+    # lifts the 3K <= 64 temporal-blocking limit in Y.
+    nby_pre = -(-Y // TY)
+    HY = 0 if nby_pre == 1 else 64
+    assert K >= 1 and (HY == 0 or 3 * K <= HY), \
+        "fuse_iters limited by the Y halo (64) when Y is tiled"
     nbx = -(-X // TX)
-    nby = -(-Y // TY)
+    nby = nby_pre
     Xp, Yp = nbx * TX, nby * TY
     WX, WY = TX + 2 * HX, TY + 2 * HY
     dtype = p.jdtype
@@ -152,9 +162,6 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
                 pr_uns[...] = jnp.zeros_like(pr_uns)
 
             mvals = {f: meta_refs[k][...] for k, f in enumerate(META_BIG)}
-            slim = SlimState(
-                **{f: slim_refs[k][...] for k, f in enumerate(SLIM_BIG)},
-                dt=scal_ref[0].astype(dtype))
             zi32 = jnp.zeros((WX, WY), jnp.int32)
             meta_blk = GridMeta(NGX=zi32.astype(jnp.int8),
                                 NGY=zi32.astype(jnp.int8),
@@ -184,7 +191,9 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
             else:
                 in_x = None
 
-            for i in range(KK):
+            def iter_body(i, carry):
+                slim = SlimState(**dict(zip(SLIM_BIG, carry)),
+                                 dt=scal_ref[0].astype(dtype))
                 base = 1 + 6 * i
                 aux_g = StepAux(beta_scen=scal_ref[base + 0].astype(dtype),
                                 cfl_scen=scal_ref[base + 1].astype(dtype),
@@ -241,11 +250,23 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
                 pr_uns[pl.ds(i, 1), :] = (
                     pr_uns[pl.ds(i, 1), :]
                     + jnp.sum(uns.astype(jnp.int32)[None], axis=-2))
+                return tuple(getattr(slim, f) for f in SLIM_BIG)
+
+            carry = tuple(slim_refs[k][...] for k in range(len(SLIM_BIG)))
+            if k_loop and KK > 1:
+                # rolled K-loop: one compiled body regardless of KK — caps
+                # both VMEM liveness and Mosaic compile time, enabling
+                # deeper temporal blocking / larger windows than the
+                # unrolled form (which keeps ~K iterations of plane
+                # intermediates live and compiles superlinearly in K)
+                carry = jax.lax.fori_loop(0, KK, iter_body, carry)
+            else:
+                for i in range(KK):
+                    carry = iter_body(i, carry)
 
             # ---- write center crops of the final carry -------------------
             for k, f in enumerate(SLIM_BIG):
-                out_refs[k][...] = getattr(slim, f)[..., HX:HX + TX,
-                                                    HY:HY + TY]
+                out_refs[k][...] = carry[k][..., HX:HX + TX, HY:HY + TY]
 
         # pallas call plumbing ------------------------------------------------
         def lead_of(f):
