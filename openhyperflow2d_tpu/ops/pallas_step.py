@@ -184,12 +184,16 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
             # static decode once per invocation, shared by all KK iterations
             ctx_blk = build_static_ctx(meta_blk, p_blk, j0)
             active_c = ctx_blk.active[HX:HX + TX, HY:HY + TY]
+            # validity mask over the tile center: pad rows/columns beyond
+            # the real (X, Y) extent carry edge-replicated node flags and
+            # must not contribute to the RMS/DD/instability partials (the
+            # XLA path reduces over real nodes only); the shard path
+            # additionally restricts to this shard's interior columns
+            gi = ti * TX + jax.lax.broadcasted_iota(jnp.int32, (TX, TY), 0)
+            gj = tj * TY + jax.lax.broadcasted_iota(jnp.int32, (TX, TY), 1)
+            in_x = (gi < X) & (gj < Y)
             if interior_x is not None:
-                gi = (ti * TX + jax.lax.broadcasted_iota(
-                    jnp.int32, (TX, TY), 0))
-                in_x = (gi >= interior_x[0]) & (gi < interior_x[1])
-            else:
-                in_x = None
+                in_x = in_x & (gi >= interior_x[0]) & (gi < interior_x[1])
 
             def iter_body(i, carry):
                 slim = SlimState(**dict(zip(SLIM_BIG, carry)),
@@ -222,9 +226,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
                 # reduction would create a rank-1 intermediate, which
                 # crashes Mosaic layout inference; the TY reduction runs
                 # outside the kernel in XLA)
-                gate = fields["gate"][:, HX:HX + TX, HY:HY + TY]
-                if in_x is not None:
-                    gate = gate & in_x[None]
+                gate = fields["gate"][:, HX:HX + TX, HY:HY + TY] & in_x[None]
                 abs_dd = fields["abs_dd"][:, HX:HX + TX, HY:HY + TY]
                 tmp = fields["tmp"][:, HX:HX + TX, HY:HY + TY]
                 dd_l = fields["dd_local"][:, HX:HX + TX, HY:HY + TY]
@@ -243,10 +245,8 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
                                              + den[:, None, :])
                 pr_max[:, pl.ds(i, 1), :] = jnp.maximum(
                     pr_max[:, pl.ds(i, 1), :], ddm[:, None, :])
-                uns = active_c & (out_state.Tg[HX:HX + TX,
-                                               HY:HY + TY] < 0.0)
-                if in_x is not None:
-                    uns = uns & in_x
+                uns = active_c & in_x & (out_state.Tg[HX:HX + TX,
+                                                      HY:HY + TY] < 0.0)
                 pr_uns[pl.ds(i, 1), :] = (
                     pr_uns[pl.ds(i, 1), :]
                     + jnp.sum(uns.astype(jnp.int32)[None], axis=-2))

@@ -109,3 +109,16 @@ def test_pallas_fused_close_on_reacting():
         b = np.asarray(getattr(p4.state, f))
         rel = np.abs(a - b) / (np.abs(a).max() + 1e-30)
         assert rel.max() < 5e-3, (f, rel.max())
+
+
+def test_pallas_rms_excludes_tile_padding():
+    """Grid sizes that don't divide the tile: the edge-replicated pad
+    rows/cols must not contribute to the RMS reduction (they previously
+    biased it ~12%); agreement with the XLA path is at the dt-lag level."""
+    deck = channel_deck(nx=50, ny=37)
+    ref = Solver(build_case(deck))
+    pal = Solver(build_case(channel_deck(nx=50, ny=37)),
+                 use_pallas=True, pallas_tile=(16, 16))
+    a = np.asarray(ref.run_iters(3)["RMS"])
+    b = np.asarray(pal.run_iters(3)["RMS"])
+    assert np.abs(a - b).max() / np.abs(a).max() < 1e-3
