@@ -50,6 +50,11 @@ def main(argv=None):
     ap.add_argument("--fast-math", action="store_true",
                     help="reciprocal-multiply transforms (ulp-level "
                     "rounding changes)")
+    ap.add_argument("--swap", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="reference .hf2d swap-file semantics: auto-resume "
+                    "from <outdir>/<Project>.hf2d when present, sync it "
+                    "every outer cycle (--no-swap disables)")
     args = ap.parse_args(argv)
 
     import jax
@@ -74,10 +79,14 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
     print(f"Load {args.deck!r} ...", flush=True)
     deck = load_deck(args.deck)
-    case = build_case(deck, dtype=dtype, serial_dt_mode=args.serial_dt)
+    case = build_case(deck, dtype=dtype, serial_dt_mode=args.serial_dt,
+                      use_swap=args.swap, swap_dir=args.outdir)
     name = case.project_name or "out"
     print(f"X={case.params.MaxX} Y={case.params.MaxY} "
           f"dx={case.params.dx} dy={case.params.dy} dtype={dtype}")
+    if case.preloaded:
+        print(f"Mapping computation area from {case.swap_path!r} "
+              f"(PreloadFlag=1, GlobalTime={case.preload_time:.6g})")
 
     if args.fast_math:
         import dataclasses
@@ -114,13 +123,11 @@ def main(argv=None):
               f"maxRMS[{k}]={mrms * 100:.4f}% t={solver.global_time:.6g}s "
               f"({solver.stats.steps_per_sec:.1f} step/sec)", flush=True)
 
-        # rank-0 outer-cycle work (deeps2d_core.cpp:1716-1848)
+        # rank-0 outer-cycle work (deeps2d_core.cpp:1716-1848); sources are
+        # a traced argument of the compiled chunk, so this never recompiles
         if case.sources:
             apply_sources(case.grid, case.sources, solver.last_iter)
-            import jax.numpy as jnp
-            solver._src_ext = jnp.asarray(case.grid.Src, solver.params.jdtype)
-            solver._chunk_fn = jax.jit(solver._make_chunk_fn(),
-                                       static_argnums=(1,))
+            solver.set_sources(case.grid.Src)
         st = solver.host_state()
         for (x0, y0, dyc) in case.xcuts:
             mp = calc_mass_flow_rate_x(case.grid, st, x0, y0, dyc)
@@ -164,6 +171,10 @@ def main(argv=None):
             save_y_heat_flux(os.path.join(args.outdir, f"HeatFlux-Y-{name}"),
                              case.grid, st, case.params.Ts0)
         save_checkpoint(ckpt_path, solver)
+        if args.swap and case.swap_path:
+            # per-cycle swap sync (deeps2d_core.cpp:1818-1848)
+            from .io_out.swapfile import write_swap_file
+            write_swap_file(case.swap_path, solver, case.grid)
 
         if solver.stats.unstable:
             err_path = os.path.join(args.outdir, f"{name}-err.plt")

@@ -194,3 +194,20 @@ def load_deck(path: str) -> Deck:
         raw = f.read()
     text = raw.decode("utf-8", errors="replace")
     return parse_deck(text, name_hint=path)
+
+
+def deck_to_text(deck: Deck) -> str:
+    """Serialize a Deck back to the reference's file format (the inverse
+    of parse_deck, round-trip tested): used to write programmatically
+    built example decks to disk for CLI-level runs."""
+    lines = [f"<start/{deck.name or 'deck'}>"]
+    for k, v in deck.data.items():
+        lines.append(f"<data/{k}={v}>")
+    for name, tab in deck.tables.items():
+        n = len(tab.x)
+        lines.append(f"<table={name}/{n}>")
+        for xv, yv in zip(tab.x, tab.y):
+            lines.append(f"{float(xv)!r} {float(yv)!r}")
+        lines.append("<endtable>")
+    lines.append(f"<end/{deck.name or 'deck'}>")
+    return "\n".join(lines) + "\n"

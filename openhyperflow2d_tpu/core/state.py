@@ -224,21 +224,32 @@ def state_from_grid(grid, params: SolverParams, dt0: float) -> SolverState:
     z9 = jnp.zeros((ne, X, Y), dt)
     z1 = jnp.zeros((X, Y), dt)
     z4 = jnp.zeros((4, X, Y), dt)
-    # fill-time turbulence fluxes from the area flood fill (see
-    # solver/init.py; hyper_flow_area.cpp:174) — survive the turbulence
-    # reset just as the reference's A/B arrays do
-    A0 = a(grid.extras["init_A"]) if "init_A" in grid.extras else z9
-    B0 = a(grid.extras["init_B"]) if "init_B" in grid.extras else z9
+
+    # optional per-field overrides staged through grid.extras["init_<f>"]:
+    # fill-time turbulence fluxes from the area flood fill (solver/init.py;
+    # hyper_flow_area.cpp:174) — they survive the turbulence reset just as
+    # the reference's A/B arrays do — and, on the swap-file resume path
+    # (io_out/swapfile.grid_from_swap), every recomputable field persisted
+    # in the reference's FlowNode2D matrix
+    def ex(name, default):
+        v = grid.extras.get(f"init_{name}")
+        return a(v) if v is not None else default
+
     return SolverState(
-        S=a(grid.S), beta=a(grid.beta), A=A0, B=B0, F=z9,
-        dSdx=z9, dSdy=z9, Src=a(grid.Src), SrcAdd=z9,
+        S=a(grid.S), beta=a(grid.beta),
+        A=ex("A", z9), B=ex("B", z9), F=ex("F", z9),
+        dSdx=ex("dSdx", z9), dSdy=ex("dSdy", z9),
+        Src=a(grid.Src), SrcAdd=ex("SrcAdd", z9),
         U=a(grid.U), V=a(grid.V), p=a(grid.p), Tg=a(grid.Tg),
         Yc=a(grid.Y), R=a(grid.R), CP=a(grid.CP), lam=a(grid.lam),
         mu=a(grid.mu), mu_t=a(grid.mu_t), lam_t=a(grid.lam_t),
-        droYdx=z4, droYdy=z4,
-        dUdx=z1, dUdy=z1, dVdx=z1, dVdy=z1, dTdx=z1, dTdy=z1,
-        dkdx=z1, dkdy=z1, depsdx=z1, depsdy=z1,
-        y_plus=a(grid.y_plus), Q_conv=z1,
+        droYdx=ex("droYdx", z4), droYdy=ex("droYdy", z4),
+        dUdx=ex("dUdx", z1), dUdy=ex("dUdy", z1),
+        dVdx=ex("dVdx", z1), dVdy=ex("dVdy", z1),
+        dTdx=ex("dTdx", z1), dTdy=ex("dTdy", z1),
+        dkdx=ex("dkdx", z1), dkdy=ex("dkdy", z1),
+        depsdx=ex("depsdx", z1), depsdy=ex("depsdy", z1),
+        y_plus=a(grid.y_plus), Q_conv=ex("Q_conv", z1),
         dt=jnp.asarray(dt0, dt))
 
 

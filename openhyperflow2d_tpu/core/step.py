@@ -465,9 +465,14 @@ def make_aux(beta_tab, cfl_tab, turb_start, it, dtype):
 
 
 def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
-                    beta_tab, cfl_tab, turb_start, src_ext):
-    """Build chunk(state, n_iters, start_iter) -> (state', diags) running
-    ``n_iters`` iterations with the slim carry.
+                    beta_tab, cfl_tab, turb_start):
+    """Build chunk(state, n_iters, start_iter, src_ext) -> (state', diags)
+    running ``n_iters`` iterations with the slim carry.
+
+    ``src_ext`` (the SetSources2D volumetric source field) is a traced
+    runtime argument so source-bearing decks can update it every outer
+    cycle without recompiling (deeps2d_core.cpp:1716-1722 re-applies the
+    source list each cycle).
 
     Identical operation sequence to ``solver_step`` repeated n times; the
     loop boundary is rotated so only SlimState crosses scan iterations:
@@ -483,19 +488,19 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
     def aux_at(it):
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
 
-    def rotated(slim, k):
-        full = expand(slim, params, src_ext)
-        out, dt_new, unstable = gfc(full, meta, params, chem, aux_at(k),
-                                    ctx=ctx)
-        out = SolverState(**{**out.__dict__, "dt": dt_new})
-        S_c, beta_c, _, _, diag = pass12(out, meta, params, aux_at(k + 1),
-                                         ctx=ctx)
-        slim2 = shrink(SolverState(**{**out.__dict__, "S": S_c,
-                                      "beta": beta_c}))
-        diag = {**diag, "unstable": unstable}
-        return slim2, diag
+    def chunk(state: SolverState, n_iters: int, start_iter, src_ext):
+        def rotated(slim, k):
+            full = expand(slim, params, src_ext)
+            out, dt_new, unstable = gfc(full, meta, params, chem, aux_at(k),
+                                        ctx=ctx)
+            out = SolverState(**{**out.__dict__, "dt": dt_new})
+            S_c, beta_c, _, _, diag = pass12(out, meta, params,
+                                             aux_at(k + 1), ctx=ctx)
+            slim2 = shrink(SolverState(**{**out.__dict__, "S": S_c,
+                                          "beta": beta_c}))
+            diag = {**diag, "unstable": unstable}
+            return slim2, diag
 
-    def chunk(state: SolverState, n_iters: int, start_iter):
         # prologue: iteration start_iter's pass12 (fluxes already in state)
         aux0 = aux_at(start_iter)
         S_c, beta_c, _, _, diag0 = pass12(state, meta, params, aux0,

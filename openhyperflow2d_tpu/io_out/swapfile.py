@@ -107,6 +107,54 @@ def read_swap_file(path: str, MaxX: int, MaxY: int) -> dict:
     return out
 
 
+def swap_size_matches(path: str, MaxX: int, MaxY: int) -> bool:
+    """PreloadFlag check: the swap file exists and has exactly
+    MaxX*MaxY nodes (obj_data.cpp:150-238 recreates on size mismatch —
+    we simply decline to preload, which the reference's recreate-and-
+    zero-fill path is equivalent to for the caller)."""
+    import os
+    return (os.path.exists(path)
+            and os.path.getsize(path) == MaxX * MaxY * NODE_SIZE)
+
+
+def grid_from_swap(grid, d: dict) -> None:
+    """Populate a HostGrid from a read_swap_file dict (the PreloadFlag
+    resume path: the reference maps the whole FlowNode2D matrix from the
+    swap, deeps2d_core.cpp:3197-3252, so every per-node field — static
+    flags included — comes from the file)."""
+    grid.S[:] = d["S"]
+    grid.beta[:] = d["beta"]
+    grid.Src[:] = d["Src"]
+    grid.Y[:] = d["Y"]
+    for name in ("U", "V", "Uw", "Vw", "p", "Tg", "R", "CP", "lam", "mu",
+                 "mu_t", "lam_t", "y_plus", "BGX", "BGY", "l_min", "time"):
+        getattr(grid, name)[:] = d[name]
+    grid.CT[:] = d["CT"].astype(np.int64)
+    grid.TCT[:] = d["TurbType"].astype(np.int64)
+    for name in ("idXl", "idXr", "idYu", "idYd"):
+        getattr(grid, name)[:] = d[name].astype(np.uint8)
+    grid.NGX[:] = d["NGX"].astype(np.int8)
+    grid.NGY[:] = d["NGY"].astype(np.int8)
+    grid.i_wall[:] = d["i_wall"].astype(np.int32)
+    grid.j_wall[:] = d["j_wall"].astype(np.int32)
+    # dynamic fields that live in SolverState but not HostGrid are staged
+    # through grid.extras (consumed by core/state.state_from_grid);
+    # dUdy/dVdx additionally feed the host recalc_y_plus
+    grid.extras["init_A"] = np.array(d["A"])
+    grid.extras["init_B"] = np.array(d["B"])
+    grid.extras["init_F"] = np.array(d["F"])
+    grid.extras["init_dSdx"] = np.array(d["dSdx"])
+    grid.extras["init_dSdy"] = np.array(d["dSdy"])
+    grid.extras["init_SrcAdd"] = np.array(d["SrcAdd"])
+    grid.extras["init_droYdx"] = np.array(d["droYdx"])
+    grid.extras["init_droYdy"] = np.array(d["droYdy"])
+    grid.extras["init_Q_conv"] = np.array(d["Q_conv"])
+    for name in ("dUdx", "dUdy", "dVdx", "dVdy", "dTdx", "dTdy",
+                 "dkdx", "dkdy", "depsdx", "depsdy"):
+        grid.extras[f"init_{name}"] = np.array(d[name])
+        grid.extras[name] = np.array(d[name])
+
+
 def state_from_swap(path: str, solver) -> None:
     """Load a reference .hf2d checkpoint into a Solver (PreloadFlag path)."""
     import jax.numpy as jnp
@@ -170,6 +218,8 @@ def write_swap_file(path: str, solver, grid) -> None:
     put("Y", st.Yc, 4)
     put("droYdx", st.droYdx, 4)
     put("droYdy", st.droYdy, 4)
+    put("Uw", np.asarray(meta.Uw))
+    put("Vw", np.asarray(meta.Vw))
     put("CT", grid.CT.astype(np.uint64))
     put("TurbType", grid.TCT.astype(np.uint64))
     put("idXl", grid.idXl)

@@ -72,13 +72,16 @@ def _default_vmem(vmem_limit_bytes):
     return vmem_limit_bytes
 
 
-def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
+def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                tile, K, vmem_limit_bytes, interior_x=None,
                red_sum=None, red_max=None, red_min=None, k_loop=None):
-    """Build (make_block, aux_at, scan_dt) for the fused kernel.
+    """Build (make_block, aux_at, scan_dt, explode) for the fused kernel.
 
-    ``meta``/``src_ext`` may be traced values (the multi-chip path calls
-    this inside shard_map on the halo-extended local block).
+    ``meta`` may be a traced value (the multi-chip path calls
+    this inside shard_map on the halo-extended local block).  The
+    volumetric source field is a runtime argument of each block (so
+    source-bearing decks can update it per outer cycle without a
+    recompile).
     ``interior_x``: optional (lo, hi) padded-X range; RMS/DD/instability
     partials only count columns in it (shard halo columns are computed
     redundantly on every shard and must not be double-reduced).
@@ -129,7 +132,6 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
 
     # static inputs exploded once (per chunk call when meta is traced)
     meta_ex = {f: explode(getattr(meta, f)) for f in META_BIG}
-    src_ex = explode(src_ext)
     p_blk = SolverParams(**{**p.__dict__, "MaxX": WX, "MaxY": WY})
 
     def aux_at(it):
@@ -347,9 +349,10 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
             fused_cache[KK] = make_fused(KK)
         fused = fused_cache[KK]
 
-        def block(slim, kbase):
+        def block(slim, kbase, src_ex):
             """Run iterations kbase .. kbase+KK-1 (gfc stage) paired with
-            pass12 at kbase+1 .. kbase+KK; dt frozen at block entry."""
+            pass12 at kbase+1 .. kbase+KK; dt frozen at block entry.
+            ``src_ex`` is the pre-exploded volumetric source field."""
             aux0 = aux_at(kbase)
             dt_k = scan_dt(slim, aux0.cfl_scen)
             scal = [dt_k.astype(jnp.float32)]
@@ -387,14 +390,15 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start, src_ext,
 
         return block
 
-    return make_block, aux_at, scan_dt
+    return make_block, aux_at, scan_dt, explode
 
 
 def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                       chem: ChemTables, beta_tab, cfl_tab, turb_start,
-                      src_ext, tile=(64, 128), fuse_iters: int = 1,
+                      tile=(64, 128), fuse_iters: int = 1,
                       vmem_limit_bytes=None):
-    """Build chunk(state, n_iters, start_iter) running the fused kernel.
+    """Build chunk(state, n_iters, start_iter, src_ext) running the fused
+    kernel.
 
     Matches make_fast_chunk's interface and prologue/epilogue structure.
     ``fuse_iters`` (K) fuses K whole iterations per kernel launch (see
@@ -405,13 +409,14 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
     """
     p = params
     K = int(fuse_iters)
-    make_block, aux_at, _ = _machinery(
-        meta, p, chem, beta_tab, cfl_tab, turb_start, src_ext, tile, K,
+    make_block, aux_at, _, explode = _machinery(
+        meta, p, chem, beta_tab, cfl_tab, turb_start, tile, K,
         _default_vmem(vmem_limit_bytes))
     block_k = make_block(K)
     ctx_g = build_static_ctx(meta, p)
 
-    def chunk(state: SolverState, n_iters: int, start_iter):
+    def chunk(state: SolverState, n_iters: int, start_iter, src_ext):
+        src_ex = explode(src_ext)
         aux0 = aux_at(start_iter)
         S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0, ctx=ctx_g)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
@@ -420,12 +425,13 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         diags = None
         if nb:
             ks = start_iter + K * jnp.arange(nb)
-            slim, diags = jax.lax.scan(block_k, slim, ks)
+            slim, diags = jax.lax.scan(
+                lambda s, k: block_k(s, k, src_ex), slim, ks)
             # flatten (nb, K, ...) -> (nb*K, ...)
             diags = jax.tree.map(
                 lambda a: a.reshape((nb * K,) + a.shape[2:]), diags)
         if rem:
-            slim, d2 = make_block(rem)(slim, start_iter + nb * K)
+            slim, d2 = make_block(rem)(slim, start_iter + nb * K, src_ex)
             diags = (d2 if diags is None else
                      jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
                                   diags, d2))

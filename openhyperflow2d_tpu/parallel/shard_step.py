@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..core import flags as fl
-from ..core.physics import node_masks, _safe_div
+from ..core.physics import _safe_div
 from ..core.state import ChemTables, GridMeta, SolverParams, SolverState
 from ..core.static_ctx import build_static_ctx
 from ..core.step import (SlimState, StepAux, expand, gfc, make_aux, pass12,
@@ -47,7 +47,7 @@ def _pad_x(a, px):
 
 
 def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
-                     beta_tab, cfl_tab, turb_start, src_ext, mesh: Mesh):
+                     beta_tab, cfl_tab, turb_start, mesh: Mesh):
     p = params
     H = HALO
     n = mesh.shape["x"]
@@ -58,7 +58,6 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
 
     meta_pad = GridMeta(**{f: _pad_x(getattr(meta, f), px)
                            for f in META_FIELDS})
-    src_pad = _pad_x(src_ext, px)
     p_loc = SolverParams(**{**p.__dict__, "MaxX": Xp // n + 2 * H})
 
     def aux_at(it):
@@ -80,7 +79,7 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
     def crop(a):
         return a[..., H:-H, :]
 
-    def body(meta_ext, src_ext_loc, active_ext, ctx_ext, slim, k):
+    def body(meta_ext, src_ext_loc, ctx_ext, slim, k):
         aux_g = aux_at(k)
         aux_p = aux_at(k + 1)
         slim_ext = SlimState(**{f: ext(getattr(slim, f))
@@ -136,11 +135,10 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
                                     "idYu", "idYd")))
             for f in META_FIELDS})
         src_ext_loc = ext(src_loc)
-        _, _, _, active_ext = node_masks(meta_ext)
         ctx_ext = build_static_ctx(meta_ext, p_loc)
         ks = start_iter + jnp.arange(n_iters - 1)
         slim_f, diags = lax.scan(partial(body, meta_ext, src_ext_loc,
-                                         active_ext, ctx_ext), slim0, ks)
+                                         ctx_ext), slim0, ks)
         return tuple(getattr(slim_f, f) for f in _SLIM_FIELDS), diags
 
     spec_x = P(None, "x", None)
@@ -150,13 +148,6 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
         return spec_x if a.ndim == 3 else (spec_x2 if a.ndim == 2 else P())
 
     meta_leaves = [getattr(meta_pad, f) for f in META_FIELDS]
-    in_specs = (tuple(spec_for(a) for a in meta_leaves),
-                spec_x, None, P(), P())
-    out_specs = (tuple(P() if f == "dt" else
-                       (spec_x if getattr(meta_pad, "CT").ndim + 1 == 3
-                        else spec_x) for f in _SLIM_FIELDS), P())
-
-    # build out_specs properly per slim leaf rank
     slim_ranks = {"S": 3, "beta": 3, "Yc": 3}
     out_specs = (tuple(
         (P() if f == "dt" else
@@ -171,7 +162,8 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
 
     ctx_g = build_static_ctx(meta, p)
 
-    def chunk(state: SolverState, n_iters: int, start_iter):
+    def chunk(state: SolverState, n_iters: int, start_iter, src_ext):
+        src_pad = _pad_x(src_ext, px)
         aux0 = aux_at(start_iter)
         S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0, ctx=ctx_g)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
@@ -227,7 +219,7 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
 
 def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                             chem: ChemTables, beta_tab, cfl_tab,
-                            turb_start, src_ext, mesh: Mesh,
+                            turb_start, mesh: Mesh,
                             tile=(64, 128), fuse_iters: int = 4,
                             vmem_limit_bytes=None):
     """Multi-chip fused-Pallas inner loop: X-strip decomposition where
@@ -262,7 +254,6 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
 
     meta_pad = GridMeta(**{f: _pad_x(getattr(meta, f), px)
                            for f in META_FIELDS})
-    src_pad = _pad_x(src_ext, px)
     p_loc = SolverParams(**{**p.__dict__, "MaxX": Xext})
 
     def aux_at(it):
@@ -292,13 +283,13 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                    zero_edge=(f in ("CT", "TCT", "idXl", "idXr",
                                     "idYu", "idYd")))
             for f in META_FIELDS})
-        src_ext_loc = ext(src_loc)
-        make_block, _, _ = _machinery(
+        make_block, _, _, explode = _machinery(
             meta_ext, p_loc, chem, beta_tab, cfl_tab, turb_start,
-            src_ext_loc, tile, K, vmem, interior_x=(H, H + X_loc),
+            tile, K, vmem, interior_x=(H, H + X_loc),
             red_sum=lambda x: lax.psum(x, "x"),
             red_max=lambda x: lax.pmax(x, "x"),
             red_min=lambda x: lax.pmin(x, "x"))
+        src_ex = explode(ext(src_loc))
 
         def make_body(KK):
             blk = make_block(KK)
@@ -307,7 +298,7 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                 slim_ext = SlimState(
                     **{f: ext(getattr(slim, f)) for f in SLIM_BIG},
                     dt=slim.dt)
-                slim2_ext, diag = blk(slim_ext, kbase)
+                slim2_ext, diag = blk(slim_ext, kbase, src_ex)
                 slim2 = SlimState(
                     **{f: crop(getattr(slim2_ext, f)) for f in SLIM_BIG},
                     dt=slim2_ext.dt)
@@ -351,7 +342,8 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
 
     ctx_g = build_static_ctx(meta, p)
 
-    def chunk(state: SolverState, n_iters: int, start_iter):
+    def chunk(state: SolverState, n_iters: int, start_iter, src_ext):
+        src_pad = _pad_x(src_ext, px)
         aux0 = aux_at(start_iter)
         S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0, ctx=ctx_g)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,

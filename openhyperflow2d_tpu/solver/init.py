@@ -116,6 +116,10 @@ class Case:
     isOutHeatFluxX: bool = False
     isOutHeatFluxY: bool = False
     isRecalcYplus: bool = False
+    # swap-file resume (PreloadFlag semantics, deeps2d_core.cpp:3197-3252)
+    preloaded: bool = False
+    preload_time: float = 0.0
+    swap_path: str = ""
 
 
 def load_chem_data(deck: Deck) -> ChemData:
@@ -224,7 +228,21 @@ def _resolve_bound_flow(deck: Deck, key_prefix: str, flow_list, flow2d_list):
 
 def build_case(deck: Deck, dtype: str = "float64",
                serial_dt_mode: bool = False,
-               serial_rms_mode: bool = None) -> Case:
+               serial_rms_mode: bool = None,
+               use_swap: bool = False, swap_dir: str = ".") -> Case:
+    """Build a Case from a deck.
+
+    With ``use_swap``, the reference's swap-file auto-resume semantics are
+    active (SURVEY §3.5): if ``<swap_dir>/<ProjectName><GasSwapFile>``
+    exists with the right size it is preloaded (PreloadFlag=1) — the
+    whole node matrix comes from the file, the fresh-init blocks (node
+    wipe, solids, areas, first-init loop, non-reflected BC scan, initial
+    boundary layer) are skipped exactly as the reference's !PreloadFlag
+    guards do (deeps2d_core.cpp:3859, 4081, 4166, 4287, 4299, 4510,
+    4639-4647), bound state is re-applied only for bounds whose deck
+    ``.isReset`` key is set (3493-3505, 3751-3759), and GlobalTime is
+    restored from node(0,0).time (4618-4621).
+    """
     chem = load_chem_data(deck)
     MaxX = deck.get_int("MaxX")
     MaxY = deck.get_int("MaxY")
@@ -261,8 +279,35 @@ def build_case(deck: Deck, dtype: str = "float64",
     grid = HostGrid(MaxX, MaxY, dx, dy, ft=ft,
                     Hu=np.array(params.Hu), Tf=chem.Tf)
 
+    # ---- swap-file preload (LoadSwapFile2D, 3197-3252) ----------------------
+    # the reference reads the GasSwapFile suffix key (2882) and maps the
+    # node matrix from <ProjectName><suffix> when it exists with the right
+    # size; every per-node field then comes from the file
+    preload = False
+    swap_path = ""
+    preload_time = 0.0
+    if use_swap:
+        import os
+        from ..io_out.swapfile import (grid_from_swap, read_swap_file,
+                                       swap_size_matches)
+        proj = deck.get_str("ProjectName", "", required=False)
+        suffix = deck.get_str("GasSwapFile", ".hf2d", required=False)
+        swap_path = os.path.join(swap_dir, f"{proj}{suffix}")
+        if swap_size_matches(swap_path, MaxX, MaxY):
+            grid_from_swap(grid, read_swap_file(swap_path, MaxX, MaxY))
+            preload = True
+            preload_time = float(grid.time[0, 0])
+
     cfl_scenario = deck.get_table("CFL_Scenario")
     beta_scenario = deck.get_table("beta_Scenario")
+
+    def bound_reset(key_prefix: str) -> bool:
+        """Per-bound isReset: forced to 1 when no swap was preloaded
+        (deeps2d_core.cpp:3493-3496, 3751-3753)."""
+        if not preload:
+            return True
+        return bool(deck.get_int(f"{key_prefix}.isReset", 0,
+                                 required=False))
 
     # ---- SingleBounds (3267-3521) -----------------------------------------
     n_single = deck.get_int("NumSingleBounds", 0, required=False)
@@ -281,6 +326,10 @@ def build_case(deck: Deck, dtype: str = "float64",
             raise ValueError(f"Unknown condition type in {name}")
         flow, flow2d, Yb = _resolve_bound_flow(deck, name, flow_list,
                                                flow2d_list)
+        if not bound_reset(name):
+            # flags (and Y) still applied; field state kept from the swap
+            # (reference nulls the flow pointers, 3505-3506)
+            flow = flow2d = None
         set_bound(grid, Bound((s_x, s_y), (e_x, e_y), ct, tct, flow, flow2d,
                               Yb, name))
 
@@ -305,6 +354,8 @@ def build_case(deck: Deck, dtype: str = "float64",
                 raise ValueError(f"Unknown condition in {cname}.Bound{i}")
             flow, flow2d, Yb = _resolve_bound_flow(
                 deck, f"{cname}.Bound{i}", flow_list, flow2d_list)
+            if not bound_reset(f"{cname}.Bound{i}"):
+                flow = flow2d = None
             last_args = (ct, flow, flow2d, Yb, tct)
             if i < npts:
                 bx = max(int(ctab.x[i] / dx), 0)
@@ -335,19 +386,23 @@ def build_case(deck: Deck, dtype: str = "float64",
 
     # ---- node wipe loop (3859-3887): clobbers bound cosines ----------------
     grid.Tf = chem.Tf
-    grid.BGX[:] = 1.0
-    grid.BGY[:] = 1.0
-    grid.NGX[:] = 0
-    grid.NGY[:] = 0
-    grid.Src[:] = 0.0
+    if not preload:
+        grid.BGX[:] = 1.0
+        grid.BGY[:] = 1.0
+        grid.NGX[:] = 0
+        grid.NGY[:] = 0
+        grid.Src[:] = 0.0
 
-    # ---- solid primitives (4000-4297) --------------------------------------
-    for i in range(1, deck.get_int("NumRects", 0, required=False) + 1):
-        add_rect(grid, deck, f"Rect{i}", flow_list, flow2d_list)
-    for i in range(1, deck.get_int("NumCircles", 0, required=False) + 1):
-        add_circle(grid, deck, f"Circle{i}", flow_list, flow2d_list)
-    for i in range(1, deck.get_int("NumAirfoils", 0, required=False) + 1):
-        add_airfoil(grid, deck, f"Airfoil{i}", flow_list, flow2d_list)
+    # ---- solid primitives (4000-4297; skipped on preload: 4081/4166/4287) --
+    if not preload:
+        for i in range(1, deck.get_int("NumRects", 0, required=False) + 1):
+            add_rect(grid, deck, f"Rect{i}", flow_list, flow2d_list)
+        for i in range(1, deck.get_int("NumCircles", 0,
+                                       required=False) + 1):
+            add_circle(grid, deck, f"Circle{i}", flow_list, flow2d_list)
+        for i in range(1, deck.get_int("NumAirfoils", 0,
+                                       required=False) + 1):
+            add_airfoil(grid, deck, f"Airfoil{i}", flow_list, flow2d_list)
 
     # ---- areas (4298-4508) --------------------------------------------------
     # The reference flood fill runs a FULL FillNode2D(is_mu_t=1, is_init=0)
@@ -362,7 +417,8 @@ def build_case(deck: Deck, dtype: str = "float64",
     # that received the full fill so the staged A/B planes can be computed
     # below, just before the reset.
     full_fill_mask = np.zeros((MaxX, MaxY), bool)
-    for i in range(1, deck.get_int("NumArea", 0, required=False) + 1):
+    n_area = 0 if preload else deck.get_int("NumArea", 0, required=False)
+    for i in range(1, n_area + 1):
         aname = f"Area{i}"
         atab = deck.get_table(aname)
         seed_x, seed_y = int(atab.x[0]), int(atab.y[0])
@@ -390,42 +446,43 @@ def build_case(deck: Deck, dtype: str = "float64",
                                             Flow2D(flow=flow_list[fi - 1]),
                                             Yb, tct)
 
-    # ---- first-initialization loop (4510-4571) ------------------------------
-    solid = grid.is_cond(fl.CT_SOLID_2D)
-    grid.idXl[:] = 1
-    grid.idXr[:] = 1
-    grid.idYu[:] = 1
-    grid.idYd[:] = 1
-    grid.l_min[:] = min(dx * MaxX, dy * MaxY)
-    grid.beta[:] = beta0
-    grid.idYd[:, 0] = 0
-    grid.idYd[:, 1:] &= np.uint8(1) - solid[:, :-1].astype(np.uint8)
-    grid.idYu[:, -1] = 0
-    grid.idYu[:, :-1] &= np.uint8(1) - solid[:, 1:].astype(np.uint8)
-    grid.idXl[0, :] = 0
-    grid.idXl[1:, :] &= np.uint8(1) - solid[:-1, :].astype(np.uint8)
-    grid.idXr[-1, :] = 0
-    grid.idXr[:-1, :] &= np.uint8(1) - solid[1:, :].astype(np.uint8)
+    # ---- first-initialization loop (4510-4571; skipped on preload) ----------
+    if not preload:
+        solid = grid.is_cond(fl.CT_SOLID_2D)
+        grid.idXl[:] = 1
+        grid.idXr[:] = 1
+        grid.idYu[:] = 1
+        grid.idYd[:] = 1
+        grid.l_min[:] = min(dx * MaxX, dy * MaxY)
+        grid.beta[:] = beta0
+        grid.idYd[:, 0] = 0
+        grid.idYd[:, 1:] &= np.uint8(1) - solid[:, :-1].astype(np.uint8)
+        grid.idYu[:, -1] = 0
+        grid.idYu[:, :-1] &= np.uint8(1) - solid[:, 1:].astype(np.uint8)
+        grid.idXl[0, :] = 0
+        grid.idXl[1:, :] &= np.uint8(1) - solid[:-1, :].astype(np.uint8)
+        grid.idXr[-1, :] = 0
+        grid.idXr[:-1, :] &= np.uint8(1) - solid[1:, :].astype(np.uint8)
 
-    wall = (grid.is_cond(fl.CT_WALL_NO_SLIP_2D)
-            | grid.is_cond(fl.CT_WALL_LAW_2D))
-    ngx = (grid.idXl.astype(np.int8) - grid.idXr.astype(np.int8)
-           + (grid.idXl * grid.idXr).astype(np.int8))
-    ngy = (grid.idYd.astype(np.int8) - grid.idYu.astype(np.int8)
-           + (grid.idYd * grid.idYu).astype(np.int8))
-    grid.NGX[wall] = ngx[wall]
-    grid.NGY[wall] = ngy[wall]
+        wall = (grid.is_cond(fl.CT_WALL_NO_SLIP_2D)
+                | grid.is_cond(fl.CT_WALL_LAW_2D))
+        ngx = (grid.idXl.astype(np.int8) - grid.idXr.astype(np.int8)
+               + (grid.idXl * grid.idXr).astype(np.int8))
+        ngy = (grid.idYd.astype(np.int8) - grid.idYu.astype(np.int8)
+               + (grid.idYd * grid.idYu).astype(np.int8))
+        grid.NGX[wall] = ngx[wall]
+        grid.NGY[wall] = ngy[wall]
 
-    if not deck.get_int("isIgnoreUnsetNodes", 0, required=False):
-        unset = ~grid.is_cond(fl.CT_NODE_IS_SET_2D)
-        if unset.any():
-            i, j = np.argwhere(unset)[0]
-            raise ValueError(
-                f"Node ({i},{j}) has not CT_NODE_IS_SET flag — "
-                f"possible missing Area objects")
+        if not deck.get_int("isIgnoreUnsetNodes", 0, required=False):
+            unset = ~grid.is_cond(fl.CT_NODE_IS_SET_2D)
+            if unset.any():
+                i, j = np.argwhere(unset)[0]
+                raise ValueError(
+                    f"Node ({i},{j}) has not CT_NODE_IS_SET flag — "
+                    f"possible missing Area objects")
 
-    grid.Tg[solid] = Ts0
-    grid.Tg[(grid.p == 0.0)] = Ts0
+        grid.Tg[solid] = Ts0
+        grid.Tg[(grid.p == 0.0)] = Ts0
 
     # ---- Cx/Cy + Cd/Cv probe windows (3968-3998) ----------------------------
     cx_params = {}
@@ -505,16 +562,19 @@ def build_case(deck: Deck, dtype: str = "float64",
     if sources:
         apply_sources(grid, sources, 0)
 
-    set_nonreflected_bc(grid)
+    if not preload:
+        set_nonreflected_bc(grid)     # skipped on preload (4639-4642)
 
     wall_nodes = np.zeros((0, 2), np.int32)
     if sm == fl.SM_NS:
-        set_init_boundary_layer(grid, delta_bl)   # InitDEEPS2D:4647 (l_min
-        # still the domain-size init here, as in the reference)
+        if not preload:
+            set_init_boundary_layer(grid, delta_bl)   # InitDEEPS2D:4647
+            # (l_min still the domain-size init here, as in the reference)
         wall_nodes = get_wall_nodes(grid)
         set_min_distance_to_wall(grid, wall_nodes)
         recalc_y_plus(grid)
-        set_init_boundary_layer(grid, delta_bl)   # hf2d_start.cpp:132
+        if not preload:
+            set_init_boundary_layer(grid, delta_bl)   # hf2d_start.cpp:132
 
     monitor_points = []
     for i in range(1, deck.get_int("NumMonitorPoints", 0,
@@ -571,7 +631,8 @@ def build_case(deck: Deck, dtype: str = "float64",
         isOutHeatFluxY=bool(deck.get_int("isOutHeatFluxY", 0,
                                          required=False)),
         isRecalcYplus=bool(deck.get_int("isRecalcYplus", 0,
-                                        required=False)))
+                                        required=False)),
+        preloaded=preload, preload_time=preload_time, swap_path=swap_path)
 
 
 def recalc_y_plus(grid: HostGrid) -> None:

@@ -66,6 +66,10 @@ class Solver:
         self.last_iter = 0
         self.global_time = float(case.deck.get_float("InitTime", 0.0,
                                                      required=False))
+        # swap-file resume: GlobalTime from node(0,0).time unless the deck
+        # overrides it with a positive InitTime (deeps2d_core.cpp:4618-4621)
+        if getattr(case, "preloaded", False) and self.global_time <= 0.0:
+            self.global_time = case.preload_time
         self.current_time_part = 0.0
         self.stats = RunStats()
         self.shardings = shardings
@@ -74,13 +78,16 @@ class Solver:
             self.state = jax.device_put(self.state, shardings["state"])
 
         # initial FillNode2D(0,1) — run after staging so the device state
-        # gets fluxes + turbulence init exactly once (deeps2d_core.cpp:4565)
-        self._init_fill = jax.jit(partial(fill_node, meta=self.meta,
-                                          params=p,
-                                          is_mu_t=jnp.zeros(
-                                              (p.MaxX, p.MaxY), bool),
-                                          is_init=True))
-        self.state = self._init_fill(self.state)
+        # gets fluxes + turbulence init exactly once (deeps2d_core.cpp:4565);
+        # skipped on swap-file resume, where the fluxes come from the swap
+        # (the first-init loop sits under !PreloadFlag, 4510)
+        if not getattr(case, "preloaded", False):
+            self._init_fill = jax.jit(partial(fill_node, meta=self.meta,
+                                              params=p,
+                                              is_mu_t=jnp.zeros(
+                                                  (p.MaxX, p.MaxY), bool),
+                                              is_init=True))
+            self.state = self._init_fill(self.state)
 
         self._chunk_fn = jax.jit(self._make_chunk_fn(), static_argnums=(1,))
 
@@ -90,18 +97,29 @@ class Solver:
             return make_pallas_chunk(
                 self.meta, self.params, self.chem,
                 (self.beta_xs, self.beta_ys), (self.cfl_xs, self.cfl_ys),
-                self.params.TurbStartIter, self._src_ext,
+                self.params.TurbStartIter,
                 tile=self.pallas_tile,
                 fuse_iters=getattr(self, "pallas_fuse", 1))
         return make_fast_chunk(
             self.meta, self.params, self.chem,
             (self.beta_xs, self.beta_ys), (self.cfl_xs, self.cfl_ys),
-            self.params.TurbStartIter, self._src_ext)
+            self.params.TurbStartIter)
+
+    def set_sources(self, src):
+        """Update the volumetric source field (SetSources2D re-application
+        each outer cycle, deeps2d_core.cpp:1716-1722).  A traced argument
+        of the compiled chunk — no recompile."""
+        new = jnp.asarray(src, self.params.jdtype)
+        old_sharding = getattr(self._src_ext, "sharding", None)
+        if old_sharding is not None:
+            new = jax.device_put(new, old_sharding)
+        self._src_ext = new
 
     def run_iters(self, n_iters: int):
         """Run ``n_iters`` inner iterations; returns stacked diagnostics."""
         state, diags = self._chunk_fn(self.state, n_iters,
-                                      jnp.asarray(self.last_iter))
+                                      jnp.asarray(self.last_iter),
+                                      self._src_ext)
         jax.block_until_ready(state)
         self.state = state
         self.last_iter += n_iters
@@ -134,7 +152,8 @@ class Solver:
         iw = wn[:, 0]
         jw = wn[:, 1]
         tau_w = (np.abs(np.asarray(st.dUdy)[iw, jw])
-                 + np.abs(np.asarray(st.dVdx)[iw, jw]))             * np.asarray(st.mu)[iw, jw]
+                 + np.abs(np.asarray(st.dVdx)[iw, jw])) \
+            * np.asarray(st.mu)[iw, jw]
         rho_w = np.asarray(st.S)[0][iw, jw]
         u_w = np.sqrt(np.where(rho_w != 0,
                                tau_w / np.where(rho_w != 0, rho_w, 1), 0.0)

@@ -42,7 +42,7 @@ def run(n_devices, base, iters, dtype, path):
             solver.meta, solver.params, solver.chem,
             (solver.beta_xs, solver.beta_ys),
             (solver.cfl_xs, solver.cfl_ys),
-            solver.params.TurbStartIter, solver._src_ext, mesh),
+            solver.params.TurbStartIter, mesh),
             static_argnums=(1,))
     elif n_devices > 1:
         solver = shard_solver(Solver(case), make_mesh(n_devices))

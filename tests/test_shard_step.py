@@ -17,7 +17,7 @@ def _shard_solver(solver, n_devices):
     solver._chunk_fn = jax.jit(make_shard_chunk(
         solver.meta, solver.params, solver.chem,
         (solver.beta_xs, solver.beta_ys), (solver.cfl_xs, solver.cfl_ys),
-        solver.params.TurbStartIter, solver._src_ext, mesh),
+        solver.params.TurbStartIter, mesh),
         static_argnums=(1,))
     return solver
 
@@ -69,7 +69,7 @@ def _pallas_shard_solver(solver, n_devices, fuse=2, tile=(16, 16)):
     solver._chunk_fn = jax.jit(make_pallas_shard_chunk(
         solver.meta, solver.params, solver.chem,
         (solver.beta_xs, solver.beta_ys), (solver.cfl_xs, solver.cfl_ys),
-        solver.params.TurbStartIter, solver._src_ext, mesh,
+        solver.params.TurbStartIter, mesh,
         tile=tile, fuse_iters=fuse),
         static_argnums=(1,))
     return solver
