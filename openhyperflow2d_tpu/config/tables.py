@@ -67,7 +67,7 @@ class Table:
         return self.get_val(q)
 
 
-def table_lookup(xs, ys, q):
+def table_lookup(xs, ys, q, ascending: bool = False):
     """Vectorized JAX equivalent of ``Table::GetVal``.
 
     ``xs``/``ys`` are 1-D knot arrays (any jnp-compatible arrays), ``q`` is an
@@ -78,6 +78,16 @@ def table_lookup(xs, ys, q):
     per-node gathers are extremely slow on the TPU scalar unit, while the
     n-1 (<= ~16) masked fma terms are pure VPU work that XLA fuses into the
     surrounding elementwise graph.
+
+    ``ascending`` (a STATIC claim the caller must establish host-side, e.g.
+    build_case's chem_asc scan) selects the telescoped slope-delta form
+
+        f(q) = y0 + m1 (q - x0) + sum_s (m_s - m_{s-1}) relu(q - x_{s-1})
+
+    which is an exact algebraic identity of the masked form when the knots
+    are strictly ascending (same segment-1/segment-(n-1) linear
+    extrapolation at both ends) at a third of the vector ops — the hot
+    chemistry path evaluates 12 of these per cell per iteration.
     """
     import jax.numpy as jnp
 
@@ -92,6 +102,15 @@ def table_lookup(xs, ys, q):
     n = len(xs) if isinstance(xs, (tuple, list)) else xs.shape[0]
     if n == 1:
         return jnp.broadcast_to(ys[0], q.shape).astype(q.dtype)
+
+    if ascending:
+        slopes = [(ys[s] - ys[s - 1]) / (xs[s] - xs[s - 1])
+                  for s in range(1, n)]            # scalar-unit work
+        out = ys[0] + slopes[0] * (q - xs[0])
+        for s in range(2, n):
+            out = out + ((slopes[s - 1] - slopes[s - 2])
+                         * jnp.maximum(q - xs[s - 1], 0.0))
+        return out
 
     lo = q <= xs[0]                 # -> segment 1
     hi = (~lo) & (q >= xs[n - 1])   # -> segment n-1

@@ -535,16 +535,17 @@ def calc_chemical_reactions(state: SolverState, meta: GridMeta,
         Yox = jnp.where(burn, Yox_b, jnp.where(react, Yox_n, Yox))
         Ycp = jnp.where(burn, Ycp_b, jnp.where(react, Ycp_n, Ycp))
 
-    # mixture properties at Tg (pre-clip mass fractions)
+    # mixture properties at Tg (pre-clip mass fractions); strictly-
+    # ascending tables (params.chem_asc, checked host-side by build_case)
+    # take table_lookup's exact telescoped fast path
     def tl(prefix):
-        return (table_lookup(getattr(chem, prefix + "_Fuel_x"),
-                             getattr(chem, prefix + "_Fuel_y"), Tg) * Yfu
-                + table_lookup(getattr(chem, prefix + "_OX_x"),
-                               getattr(chem, prefix + "_OX_y"), Tg) * Yox
-                + table_lookup(getattr(chem, prefix + "_cp_x"),
-                               getattr(chem, prefix + "_cp_y"), Tg) * Ycp
-                + table_lookup(getattr(chem, prefix + "_air_x"),
-                               getattr(chem, prefix + "_air_y"), Tg) * Yair)
+        def one(sp, w):
+            return table_lookup(
+                getattr(chem, f"{prefix}_{sp}_x"),
+                getattr(chem, f"{prefix}_{sp}_y"), Tg,
+                ascending=(f"{prefix}_{sp}" in p.chem_asc)) * w
+        return (one("Fuel", Yfu) + one("OX", Yox) + one("cp", Ycp)
+                + one("air", Yair))
 
     R_new = (chem.R_Fuel * Yfu + chem.R_OX * Yox + chem.R_cp * Ycp
              + chem.R_air * Yair)

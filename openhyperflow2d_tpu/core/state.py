@@ -202,6 +202,20 @@ class SolverParams:
     models: tuple = ("prandtl", "keps", "sa", "smag")
     # any wall-law / no-slip nodes present (gates wall handling + y+ path)
     has_walls: bool = True
+    # any node carrying a 2nd-order (d2*/dx2|dy2 NULL) soft BC flag — gates
+    # the dSdx/dSdy neighbor-averaging branch of pass 1 (defaults True =
+    # no specialization)
+    has_d2x: bool = True
+    has_d2y: bool = True
+    # any CT_NONREFLECTED nodes (gates the nrbc beta0 override)
+    has_nrbc: bool = True
+    # any external volumetric sources (SetSources2D); False lets XLA fold
+    # the Src*dt term of pass 1 for the mean-flow/species equations
+    has_ext_src: bool = True
+    # chem table names (f"{prop}_{species}") whose knots are strictly
+    # ascending — those lookups take the telescoped slope-delta fast path
+    # in table_lookup (exact identity for ascending knots)
+    chem_asc: tuple = ()
     # allow reciprocal-multiply transforms of repeated divisions (changes
     # last-ulp rounding; off for reference-parity golden validation)
     fast_math: bool = False

@@ -132,10 +132,18 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     S_eff = jnp.where(ctx.ev_avg_x, (S_L * n2 + S_R * n1) * rn_n, S)
     S_eff = jnp.where(ctx.ev_avg_y, (S_U * n3 + S_D * n4) * rm_m, S_eff)
 
-    dSdx_L, dSdx_R, _, _ = neighbors(dSdx_new, idXl, idXr, idYu, idYd)
-    _, _, dSdy_U, dSdy_D = neighbors(dSdy_new, idXl, idXr, idYu, idYd)
-    dXX = jnp.where(dx2m, (dSdx_L + dSdx_R) * 0.5, dSdx_new)
-    dYY = jnp.where(dy2m, (dSdy_U + dSdy_D) * 0.5, dSdy_new)
+    # 2nd-order soft-BC averaging, statically skipped when no node of the
+    # case carries a d2*-NULL flag (params.has_d2x/y from build_case)
+    if p.has_d2x:
+        dSdx_L, dSdx_R, _, _ = neighbors(dSdx_new, idXl, idXr, idYu, idYd)
+        dXX = jnp.where(dx2m, (dSdx_L + dSdx_R) * 0.5, dSdx_new)
+    else:
+        dXX = dSdx_new
+    if p.has_d2y:
+        _, _, dSdy_U, dSdy_D = neighbors(dSdy_new, idXl, idXr, idYu, idYd)
+        dYY = jnp.where(dy2m, (dSdy_U + dSdy_D) * 0.5, dSdy_new)
+    else:
+        dYY = dSdy_new
 
     beta = state.beta
     blend = (dxx * (S_L + S_R) + dyy * (S_U + S_D)) * 0.5
@@ -157,8 +165,11 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
         sqrt_res = jnp.where(big, jnp.sqrt(dd_local), 0.0)
 
     beta_min = jnp.minimum(jnp.asarray(p.beta0, dtype), aux.beta_scen)
-    beta_min = jnp.where(ctx.nrbc, jnp.asarray(p.nrbc_beta0, dtype),
-                         beta_min)[None]
+    if p.has_nrbc:
+        # per-node override on CT_NONREFLECTED nodes; statically skipped
+        # (beta_min stays a scalar) when the case marked none
+        beta_min = jnp.where(ctx.nrbc, jnp.asarray(p.nrbc_beta0, dtype),
+                             beta_min)[None]
     if p.bff == fl.BFF_L:
         new_beta = jnp.minimum(beta_min,
                                beta_min ** 2 / (beta_min + dd_local))
@@ -489,6 +500,12 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
 
     def chunk(state: SolverState, n_iters: int, start_iter, src_ext):
+        if not params.has_ext_src:
+            # no SetSources2D objects in this case: a literal zero source
+            # lets XLA fold the Src*dt term of pass 1 away entirely
+            src_ext = jnp.zeros((fl.NUM_EQ, params.MaxX, params.MaxY),
+                                dtype)
+
         def rotated(slim, k):
             full = expand(slim, params, src_ext)
             out, dt_new, unstable = gfc(full, meta, params, chem, aux_at(k),

@@ -137,7 +137,11 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     def aux_at(it):
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
 
-    n_in = len(SLIM_BIG) + len(META_BIG) + 1   # + src_ext
+    # the external-source field enters the kernel only when the case has
+    # SetSources2D objects; otherwise a literal zero inside the kernel
+    # body lets Mosaic fold the Src*dt term (and saves the input DMA)
+    has_src = p.has_ext_src
+    n_in = len(SLIM_BIG) + len(META_BIG) + (1 if has_src else 0)
 
     def make_fused(KK):
         """pallas_call running KK fused iterations per invocation."""
@@ -145,7 +149,8 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         def kernel(scal_ref, *refs):
             slim_refs = refs[:len(SLIM_BIG)]
             meta_refs = refs[len(SLIM_BIG):len(SLIM_BIG) + len(META_BIG)]
-            src_ref = refs[len(SLIM_BIG) + len(META_BIG)]
+            src_ref = (refs[len(SLIM_BIG) + len(META_BIG)] if has_src
+                       else None)
             chem_refs = refs[n_in:n_in + len(CHEM_FIELDS)]
             k0 = n_in + len(CHEM_FIELDS)
             out_refs = refs[k0:k0 + len(SLIM_BIG)]
@@ -168,7 +173,8 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             meta_blk = GridMeta(NGX=zi32.astype(jnp.int8),
                                 NGY=zi32.astype(jnp.int8),
                                 i_wall=zi32, j_wall=zi32, **mvals)
-            src_w = src_ref[...]
+            src_w = (src_ref[...] if has_src
+                     else jnp.zeros((9, WX, WY), dtype))
 
             # chem tables live in SMEM; materialize them as static tuples
             # of scalar reads (table_lookup indexes knots statically) —
@@ -291,7 +297,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                     + [in_spec_for(f, "slim") for f in SLIM_BIG]
                     + [in_spec_for(f, "meta") for f in META_BIG]
-                    + [in_spec_for(None, "src")]
+                    + ([in_spec_for(None, "src")] if has_src else [])
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)
                        for _ in CHEM_FIELDS])
 
@@ -367,7 +373,8 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                          aux_p.is_mu_t_iter.astype(jnp.float32)]
             scal = jnp.stack(scal)
             ins = ([explode(getattr(slim, f)) for f in SLIM_BIG]
-                   + [meta_ex[f] for f in META_BIG] + [src_ex]
+                   + [meta_ex[f] for f in META_BIG]
+                   + ([src_ex] if has_src else [])
                    + [getattr(chem, f) for f in CHEM_FIELDS])
             outs = fused(scal, *ins)
             new_leaves = [a[..., :X, :Y] for a in outs[:len(SLIM_BIG)]]
@@ -416,7 +423,11 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
     ctx_g = build_static_ctx(meta, p)
 
     def chunk(state: SolverState, n_iters: int, start_iter, src_ext):
-        src_ex = explode(src_ext)
+        if not p.has_ext_src:
+            src_ext = jnp.zeros((9, p.MaxX, p.MaxY), p.jdtype)
+            src_ex = None
+        else:
+            src_ex = explode(src_ext)
         aux0 = aux_at(start_iter)
         S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0, ctx=ctx_g)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,

@@ -163,6 +163,8 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
     ctx_g = build_static_ctx(meta, p)
 
     def chunk(state: SolverState, n_iters: int, start_iter, src_ext):
+        if not p.has_ext_src:
+            src_ext = jnp.zeros((9, p.MaxX, p.MaxY), p.jdtype)
         src_pad = _pad_x(src_ext, px)
         aux0 = aux_at(start_iter)
         S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0, ctx=ctx_g)
@@ -289,7 +291,7 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
             red_sum=lambda x: lax.psum(x, "x"),
             red_max=lambda x: lax.pmax(x, "x"),
             red_min=lambda x: lax.pmin(x, "x"))
-        src_ex = explode(ext(src_loc))
+        src_ex = explode(ext(src_loc)) if p.has_ext_src else None
 
         def make_body(KK):
             blk = make_block(KK)
@@ -343,6 +345,8 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
     ctx_g = build_static_ctx(meta, p)
 
     def chunk(state: SolverState, n_iters: int, start_iter, src_ext):
+        if not p.has_ext_src:
+            src_ext = jnp.zeros((9, p.MaxX, p.MaxY), p.jdtype)
         src_pad = _pad_x(src_ext, px)
         aux0 = aux_at(start_iter)
         S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0, ctx=ctx_g)

@@ -598,8 +598,31 @@ def build_case(deck: Deck, dtype: str = "float64",
         models.append("smag")
     has_walls = bool(grid.is_cond(fl.CT_WALL_NO_SLIP_2D).any()
                      | grid.is_cond(fl.CT_WALL_LAW_2D).any())
+    # 2nd-order soft-BC flags (pass-1 dSdx/dSdy averaging branch)
+    d2x_ct = fl.CT_d2Ydx2_NULL_2D
+    d2y_ct = fl.CT_d2Ydy2_NULL_2D
+    for k in range(4):
+        d2x_ct |= fl.CT_d2Rhodx2_NULL_2D << k
+        d2y_ct |= fl.CT_d2Rhody2_NULL_2D << k
+    d2_tct_x = fl.TCT_d2kdx2_NULL_2D | (fl.TCT_d2kdx2_NULL_2D << 1)
+    d2_tct_y = fl.TCT_d2kdy2_NULL_2D | (fl.TCT_d2kdy2_NULL_2D << 1)
+    has_d2x = bool(((grid.CT & np.int64(d2x_ct)) != 0).any()
+                   or ((grid.TCT & np.int64(d2_tct_x)) != 0).any())
+    has_d2y = bool(((grid.CT & np.int64(d2y_ct)) != 0).any()
+                   or ((grid.TCT & np.int64(d2_tct_y)) != 0).any())
+    has_nrbc = bool((grid.CT & np.int64(fl.CT_NONREFLECTED_2D)).any())
+    # strictly-ascending chem tables take the exact telescoped fast path
+    chem_asc = tuple(
+        f"{prop}_{sp}" for prop in ("Cp", "lam", "mu")
+        for sp in ("Fuel", "OX", "cp", "air")
+        if chem.tables[(prop, sp)].n >= 2
+        and bool(np.all(np.diff(chem.tables[(prop, sp)].x) > 0)))
     params = dataclasses.replace(params, models=tuple(models),
-                                 has_walls=has_walls)
+                                 has_walls=has_walls,
+                                 has_d2x=has_d2x, has_d2y=has_d2y,
+                                 has_nrbc=has_nrbc,
+                                 has_ext_src=bool(sources),
+                                 chem_asc=chem_asc)
 
     return Case(
         deck=deck, grid=grid, params=params, chem=chem,

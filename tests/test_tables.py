@@ -66,3 +66,22 @@ def test_jnp_lookup_shapes():
     out = np.asarray(table_lookup(xs, ys, q))
     assert out.shape == (4, 5)
     np.testing.assert_allclose(out, 2.5)
+
+
+def test_table_lookup_ascending_fast_path():
+    """The telescoped slope-delta form is an exact identity of the masked
+    form for strictly ascending knots (incl. linear extrapolation ends)."""
+    import numpy as np
+    from openhyperflow2d_tpu.config.tables import table_lookup
+    rng = np.random.default_rng(0)
+    xs = np.sort(rng.uniform(0, 100, 7))
+    xs += np.arange(7) * 1e-3          # strictly ascending
+    ys = rng.uniform(-5, 5, 7)
+    q = rng.uniform(-50, 150, (64,))
+    a = np.asarray(table_lookup(xs, ys, q))
+    b = np.asarray(table_lookup(xs, ys, q, ascending=True))
+    np.testing.assert_allclose(b, a, rtol=5e-6, atol=1e-6)
+    # 2-knot table (the shipped-deck common case)
+    a = np.asarray(table_lookup(xs[:2], ys[:2], q))
+    b = np.asarray(table_lookup(xs[:2], ys[:2], q, ascending=True))
+    np.testing.assert_allclose(b, a, rtol=5e-6, atol=1e-6)
