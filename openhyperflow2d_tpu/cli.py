@@ -154,8 +154,23 @@ def main(argv=None):
                          cp["dy_nozzle"], cp["p_ambient"], fl2)
             print(f"Cd={cd:.6g} Cv={cv:.6g}")
         if case.monitor_points:
-            probes = [solver.probe(mp.x, mp.y) for mp in case.monitor_points]
-            save_monitors_row(mon_path, solver.global_time, probes)
+            pr = diags.get("probes") if hasattr(diags, "get") else None
+            if pr is not None:
+                # per-NOutStep rows (deeps2d_core.cpp:1603-1637, 2560-2569)
+                # from the probes captured inside the compiled scan
+                pr = np.asarray(pr)
+                dts = np.asarray(diags["dt_used"])
+                tcum = (solver.global_time - dts.sum()) + np.cumsum(dts)
+                for it in range(0, pr.shape[0], case.NOutStep):
+                    save_monitors_row(
+                        mon_path, float(tcum[it]),
+                        [(row[0], row[1]) for row in pr[it]])
+            else:
+                # fast/fused paths: one row per outer cycle
+                save_monitors_row(
+                    mon_path, solver.global_time,
+                    solver.probe_many([(mp.x, mp.y)
+                                       for mp in case.monitor_points]))
         if cycles % max(case.NSaveStep, 1) == 0:
             save_data_2d(plt_path, case.grid, st, case.params,
                          solver.global_time, mode_append=False,

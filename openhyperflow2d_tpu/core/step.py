@@ -476,7 +476,8 @@ def make_aux(beta_tab, cfl_tab, turb_start, it, dtype):
 
 
 def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
-                    beta_tab, cfl_tab, turb_start):
+                    beta_tab, cfl_tab, turb_start, probe_idx=(),
+                    meta_as_arg: bool = False):
     """Build chunk(state, n_iters, start_iter, src_ext) -> (state', diags)
     running ``n_iters`` iterations with the slim carry.
 
@@ -484,6 +485,17 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
     runtime argument so source-bearing decks can update it every outer
     cycle without recompiling (deeps2d_core.cpp:1716-1722 re-applies the
     source list each cycle).
+
+    ``probe_idx``: static tuple of (i, j) monitor-point node indices;
+    when non-empty the diags carry per-iteration p/T probes
+    (diag["probes"], (n_iters, n_points, 2)) so monitor rows can be
+    written at NOutStep granularity exactly like the reference
+    (deeps2d_core.cpp:1465-1486, 2560-2569).
+
+    ``meta_as_arg``: the chunk takes the GridMeta as a 5th runtime
+    argument (and rebuilds the static ctx from it, once per call) instead
+    of closing over it — required under a multi-process mesh, where
+    closing over process-spanning arrays is not allowed.
 
     Identical operation sequence to ``solver_step`` repeated n times; the
     loop boundary is rotated so only SlimState crosses scan iterations:
@@ -494,12 +506,23 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
         epilogue: [gradients+fill+dt+chem+heat] @ iter n-1
     """
     dtype = params.jdtype
-    ctx = build_static_ctx(meta, params)
+    ctx0 = None if meta_as_arg else build_static_ctx(meta, params)
+
+    def probes_of(st):
+        return jnp.stack([jnp.stack([st.p[i, j], st.Tg[i, j]])
+                          for (i, j) in probe_idx])
 
     def aux_at(it):
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
 
-    def chunk(state: SolverState, n_iters: int, start_iter, src_ext):
+    def chunk(state: SolverState, n_iters: int, start_iter, src_ext,
+              meta_arg: GridMeta = None):
+        if meta_as_arg:
+            mt = meta_arg
+            ctx = build_static_ctx(mt, params)
+        else:
+            mt = meta
+            ctx = ctx0
         if not params.has_ext_src:
             # no SetSources2D objects in this case: a literal zero source
             # lets XLA fold the Src*dt term of pass 1 away entirely
@@ -508,19 +531,23 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
 
         def rotated(slim, k):
             full = expand(slim, params, src_ext)
-            out, dt_new, unstable = gfc(full, meta, params, chem, aux_at(k),
+            out, dt_new, unstable = gfc(full, mt, params, chem, aux_at(k),
                                         ctx=ctx)
             out = SolverState(**{**out.__dict__, "dt": dt_new})
-            S_c, beta_c, _, _, diag = pass12(out, meta, params,
+            S_c, beta_c, _, _, diag = pass12(out, mt, params,
                                              aux_at(k + 1), ctx=ctx)
             slim2 = shrink(SolverState(**{**out.__dict__, "S": S_c,
                                           "beta": beta_c}))
             diag = {**diag, "unstable": unstable}
+            if probe_idx:
+                # post-fill primitives of iteration k (reference probes
+                # node values after the iteration, 1465-1486)
+                diag["probes"] = probes_of(out)
             return slim2, diag
 
         # prologue: iteration start_iter's pass12 (fluxes already in state)
         aux0 = aux_at(start_iter)
-        S_c, beta_c, _, _, diag0 = pass12(state, meta, params, aux0,
+        S_c, beta_c, _, _, diag0 = pass12(state, mt, params, aux0,
                                           ctx=ctx)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
                                      "beta": beta_c}))
@@ -531,7 +558,7 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
             diags = None
         # epilogue: final iteration's gradients/fill/chem
         full = expand(slim, params, src_ext)
-        out, dt_new, unstable_last = gfc(full, meta, params, chem,
+        out, dt_new, unstable_last = gfc(full, mt, params, chem,
                                          aux_at(start_iter + n_iters - 1),
                                          ctx=ctx)
         out = SolverState(**{**out.__dict__, "dt": dt_new})
@@ -555,6 +582,9 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
             "unstable": trail(diags["unstable"] if diags else None,
                               unstable_last),
         }
+        if probe_idx:
+            all_diag["probes"] = trail(
+                diags["probes"] if diags else None, probes_of(out))
         return out, all_diag
 
     return chunk

@@ -100,10 +100,13 @@ class Solver:
                 self.params.TurbStartIter,
                 tile=self.pallas_tile,
                 fuse_iters=getattr(self, "pallas_fuse", 1))
+        probe_idx = tuple(self._probe_index(mp.x, mp.y)
+                          for mp in self.case.monitor_points)
         return make_fast_chunk(
             self.meta, self.params, self.chem,
             (self.beta_xs, self.beta_ys), (self.cfl_xs, self.cfl_ys),
-            self.params.TurbStartIter)
+            self.params.TurbStartIter, probe_idx=probe_idx,
+            meta_as_arg=getattr(self, "_multihost", False))
 
     def set_sources(self, src):
         """Update the volumetric source field (SetSources2D re-application
@@ -117,12 +120,17 @@ class Solver:
 
     def run_iters(self, n_iters: int):
         """Run ``n_iters`` inner iterations; returns stacked diagnostics."""
+        extra = ((self.meta,) if getattr(self, "_multihost", False) else ())
         state, diags = self._chunk_fn(self.state, n_iters,
                                       jnp.asarray(self.last_iter),
-                                      self._src_ext)
+                                      self._src_ext, *extra)
         jax.block_until_ready(state)
         self.state = state
         self.last_iter += n_iters
+        if getattr(self, "_multihost", False):
+            # diags are fully replicated; np views need local shards
+            from ..parallel.multihost import gather_to_host
+            diags = gather_to_host(diags)
         dts = np.asarray(diags["dt_used"])
         self.current_time_part += float(dts.sum())
         return diags
@@ -193,17 +201,43 @@ class Solver:
         return float(rms[mi - 1]), mi - 1
 
     def host_state(self):
-        """Fetch the dynamic state back to numpy (for output/checkpoint)."""
+        """Fetch the dynamic state back to numpy (for output/checkpoint).
+        Under a multi-process mesh this is the per-host shard assembly in
+        grid order (the reference's rank-0 gather,
+        deeps2d_core.cpp:1679-1714)."""
+        if getattr(self, "_multihost", False):
+            from ..parallel.multihost import gather_to_host
+            return gather_to_host(self.state)
         return jax.tree.map(np.asarray, self.state)
 
-    def probe(self, x: float, y: float):
-        """Monitor-point p/T (deeps2d_core.cpp:1470-1473)."""
+    def _probe_index(self, x: float, y: float):
         p = self.params
         i = int((x - p.dx * 0.5) / p.dx)
         j = int(y / p.dy)
-        i = min(max(i, 0), p.MaxX - 1)
-        j = min(max(j, 0), p.MaxY - 1)
-        return (float(self.state.p[i, j]), float(self.state.Tg[i, j]))
+        return (min(max(i, 0), p.MaxX - 1), min(max(j, 0), p.MaxY - 1))
+
+    def probe_many(self, points):
+        """Monitor-point p/T for a list of (x, y) probes in ONE compiled
+        fetch (deeps2d_core.cpp:1470-1473) — one device round-trip per
+        cycle instead of two per point, and multi-host safe (the jitted
+        gather returns a replicated array)."""
+        idx = tuple(self._probe_index(px, py) for (px, py) in points)
+        cache = getattr(self, "_probe_fns", None)
+        if cache is None:
+            cache = self._probe_fns = {}
+        fn = cache.get(idx)
+        if fn is None:
+            def gather(p_fld, tg_fld):
+                return jnp.stack(
+                    [jnp.stack([p_fld[i, j], tg_fld[i, j]])
+                     for (i, j) in idx])
+            fn = cache[idx] = jax.jit(gather)
+        vals = np.asarray(fn(self.state.p, self.state.Tg))
+        return [(float(v[0]), float(v[1])) for v in vals]
+
+    def probe(self, x: float, y: float):
+        """Single monitor-point p/T."""
+        return self.probe_many([(x, y)])[0]
 
 
 def run_case(case: Case, max_cycles: int = None, verbose: bool = True,
