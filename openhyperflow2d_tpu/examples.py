@@ -73,14 +73,19 @@ def channel_deck(nx: int = 64, ny: int = 64, u: float = 500.0,
                  turb_ext_model: int = 0, flow_type: int = 0,
                  mach2_v: float = None, cfl: float = 0.5,
                  beta: float = 0.98, bff: int = 4, nmax: int = 100,
-                 with_rect: bool = False) -> Deck:
+                 with_rect: bool = False,
+                 wall_bottom: bool = False) -> Deck:
     """A supersonic channel: inflow at x=0 and (optionally deflected) top
     stream, D0X outflow, D0Y bottom — the ObliqueShock topology at an
     arbitrary size.  Optionally drops a solid rectangle into the stream
-    (duct-narrowing / bluff-body benchmark config)."""
+    (duct-narrowing / bluff-body benchmark config); ``wall_bottom`` turns
+    the bottom boundary into a no-slip wall (flat-plate configuration for
+    the Stanton-correlation validation, out_cfd_param.cpp:536-547)."""
     dx = dy = 0.01
     lx, ly = nx * dx, ny * dy
     v2 = mach2_v if mach2_v is not None else v
+    bc_bottom = ("NT_WNS_2D" if wall_bottom
+                 else "NT_D0Y_2D, CT_V_CONST_2D")
     rect = ""
     nrects = 0
     if with_rect:
@@ -163,7 +168,7 @@ def channel_deck(nx: int = 64, ny: int = 64, u: float = 500.0,
 <data/Contour1.MaterialID=0>
 <data/Contour1.Bound1.Cond=NT_FC_2D>
 <data/Contour1.Bound2.Cond=NT_D0X_2D>
-<data/Contour1.Bound3.Cond=NT_D0Y_2D, CT_V_CONST_2D>
+<data/Contour1.Bound3.Cond={bc_bottom}>
 <data/Contour1.Bound4.Cond=NT_FC_2D>
 <data/Contour1.Bound1.Flow2D=2>
 <data/Contour1.Bound2.Flow2D=1>
@@ -216,12 +221,12 @@ def freestream_deck(problem_type: int = 0, u: float = 500.0, v: float = 0.0,
 
 
 def reacting_rans_deck(nx: int, ny: int, turb_model: int = 4,
-                       turb_ext_model: int = 4) -> Deck:
+                       turb_ext_model: int = 4, cfl: float = 0.25) -> Deck:
     """Benchmark case: reacting (fuel stream + hot oxidizer coflow) RANS
     channel, the headline perf config (BASELINE.md)."""
     d = channel_deck(nx=nx, ny=ny, u=600.0, v=0.0, problem_type=1,
                      turb_model=turb_model, turb_ext_model=turb_ext_model,
-                     cfl=0.25, beta=0.95, nmax=100)
+                     cfl=cfl, beta=0.95, nmax=100)
     # fuel-rich hot top stream ignites against oxidizer interior
     d.data["Flow2D-2.CompIndex"] = "0"   # fuel
     d.data["Flow2D-2.T"] = "1400."

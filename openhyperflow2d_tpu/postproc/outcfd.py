@@ -329,9 +329,24 @@ def _lam_eff_5pt(grid, state):
     return acc / 5.0
 
 
-def save_x_heat_flux(path, grid, state, flow2d, Ts, y_max, y_min):
+def save_x_heat_flux(path, grid, state, flow2d, Ts, y_max, y_min,
+                     ref_test: bool = False):
     """SaveXHeatFlux2D (524-691): per-column max wall heat flux profile,
-    heat-exchange coefficient, Cp and Stanton number."""
+    heat-exchange coefficient, Cp and Stanton number.
+
+    ``ref_test`` reproduces the reference's ``_REF_TEST_`` compile-time
+    mode (out_cfd_param.cpp:536-547, 633-648): per wall node the
+    flat-plate correlations
+
+        Re(x) = U_top x rho / mu,   Pr = mu Cp / lam,
+        Nu = 0.332 sqrt(Re) Pr^(1/3)            (Re < 5e5, Blasius)
+             0.0296 Re^0.8  Pr^(1/3)            (turbulent),
+        Alpha_Ref = Nu lam / x,   Q_Ref = Alpha_Ref (Tg - Ts)
+
+    are written next to the computed profiles — the physics oracle for
+    the wall heat-flux path beyond golden fields.  Returns the extra
+    (q_ref, alpha_ref, re, pr) profiles in that mode.
+    """
     X, Y = grid.MaxX, grid.MaxY
     wall_ns = grid.is_cond(fl.CT_WALL_NO_SLIP_2D)
     Tg = np.asarray(state.Tg)
@@ -343,6 +358,26 @@ def save_x_heat_flux(path, grid, state, flow2d, Ts, y_max, y_min):
     cp_all = calc_cp(state, grid, flow2d)
     st_all = q_all / (flow2d.ROG() * flow2d.Wg() * flow2d.C * (trec - Ts))
 
+    if ref_test:
+        # Re uses the top-row (freestream) U of the same column and the
+        # wall node's own rho/mu/lam/Cp (out_cfd_param.cpp:633-637)
+        lam_l = np.asarray(state.lam)
+        mu_l = np.asarray(state.mu)
+        cp_l = np.asarray(state.CP)
+        rho = np.asarray(state.S)[fl.i2d_Rho]
+        mu_s = np.where(mu_l != 0, mu_l, 1)
+        lam_s = np.where(lam_l != 0, lam_l, 1)
+        x_c = (np.arange(X) + 0.5)[:, None] * grid.dx
+        re_all = np.asarray(state.U)[:, -1][:, None] * x_c * rho / mu_s
+        pr_all = mu_l * cp_l / lam_s
+        nu_all = np.where(re_all < 5.0e5,
+                          0.332 * np.sqrt(np.maximum(re_all, 0.0))
+                          * np.cbrt(pr_all),
+                          0.0296 * np.maximum(re_all, 0.0) ** 0.8
+                          * np.cbrt(pr_all))
+        alpha_ref_all = nu_all * lam_l / x_c
+        q_ref_all = alpha_ref_all * (Tg - Ts)
+
     jlo = max(0, y_min)
     jhi = min(y_max, Y - 1)
     sel = np.zeros((X, Y), bool)
@@ -352,6 +387,10 @@ def save_x_heat_flux(path, grid, state, flow2d, Ts, y_max, y_min):
     alpha = np.zeros(X)
     cp_prof = np.zeros(X)
     st_prof = np.zeros(X)
+    q_ref = np.zeros(X)
+    a_ref = np.zeros(X)
+    re_prof = np.zeros(X)
+    pr_prof = np.zeros(X)
     for i in range(X):
         js = np.nonzero(sel[i])[0]
         for j in js:
@@ -359,17 +398,37 @@ def save_x_heat_flux(path, grid, state, flow2d, Ts, y_max, y_min):
             if heat[i] != 0.0:
                 heat[i] = max(heat[i], q)
                 alpha[i] = max(alpha[i], alpha_all[i, j])
+                if ref_test:
+                    q_ref[i] = max(q_ref[i], q_ref_all[i, j])
+                    a_ref[i] = max(a_ref[i], alpha_ref_all[i, j])
             else:
                 heat[i] = q
                 alpha[i] = alpha_all[i, j]
+                if ref_test:
+                    q_ref[i] = q_ref_all[i, j]
+                    a_ref[i] = alpha_ref_all[i, j]
             cp_prof[i] = cp_all[i, j]
             st_prof[i] = st_all[i, j]
+            if ref_test:
+                re_prof[i] = re_all[i, j]
+                pr_prof[i] = pr_all[i, j]
 
     with open(path, "w") as f:
-        f.write("#VARIABLES = X, HeatFlux(X),  Alpha(X), Cp(X), St(X)\n")
-        for i in range(X):
-            f.write(f"{i * grid.dx:.6g} {heat[i]:.6g} {alpha[i]:.6g} "
-                    f"{cp_prof[i]:.6g} {st_prof[i]:.6g}\n")
+        if ref_test:
+            f.write("#VARIABLES = X, HeatFlux(X), Alpha(X), "
+                    "HeatFluxRef(X), AlphaRef(X), Re(X), Pr(X)\n")
+            for i in range(X):
+                f.write(f"{i * grid.dx:.6g} {heat[i]:.6g} {alpha[i]:.6g} "
+                        f"{q_ref[i]:.6g} {a_ref[i]:.6g} "
+                        f"{re_prof[i]:.6g} {pr_prof[i]:.6g}\n")
+        else:
+            f.write("#VARIABLES = X, HeatFlux(X),  Alpha(X), Cp(X), "
+                    "St(X)\n")
+            for i in range(X):
+                f.write(f"{i * grid.dx:.6g} {heat[i]:.6g} {alpha[i]:.6g} "
+                        f"{cp_prof[i]:.6g} {st_prof[i]:.6g}\n")
+    if ref_test:
+        return heat, alpha, q_ref, a_ref, re_prof, pr_prof
     return heat, alpha, cp_prof, st_prof
 
 

@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 
-def run(n_devices, base, iters, dtype, path):
+def run(n_devices, base, iters, dtype, path, cfl):
     from openhyperflow2d_tpu.examples import reacting_rans_deck
     from openhyperflow2d_tpu.parallel.mesh import make_mesh, shard_solver
     from openhyperflow2d_tpu.parallel.shard_step import make_shard_chunk
@@ -33,7 +33,10 @@ def run(n_devices, base, iters, dtype, path):
     from openhyperflow2d_tpu.solver.runner import Solver
 
     nx, ny = n_devices * base, base
-    deck = reacting_rans_deck(nx, ny)
+    # CFL 0.1: the synthetic reacting case is marginal at CFL 0.25 for
+    # some grid sizes (Tg<0 within ~35 iters at 192^2); the scaling
+    # metric is comm overhead, not chemistry margin
+    deck = reacting_rans_deck(nx, ny, cfl=cfl)
     case = build_case(deck, dtype=dtype)
     if path == "shard_map" and n_devices > 1:
         solver = Solver(case)
@@ -69,19 +72,30 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--path", default="gspmd",
                     choices=["gspmd", "shard_map"])
+    ap.add_argument("--cfl", type=float, default=0.05)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (the environment pins "
+                    "JAX_PLATFORMS=axon via sitecustomize, so the env "
+                    "var alone is not honored — this calls "
+                    "jax.config.update)")
     args = ap.parse_args()
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            jax.config.update("jax_enable_x64", True)
     avail = len(jax.devices())
     nmax = args.devices or avail
     results = {}
     g1 = None
     n = 1
     while n <= nmax:
-        gcups, dt = run(n, args.base, args.iters, args.dtype, args.path)
+        gcups, dt = run(n, args.base, args.iters, args.dtype,
+                        args.path, args.cfl)
         g1 = g1 or gcups
         eff = gcups / (n * g1)
-        results[n] = {"gcups_total": round(gcups, 3),
-                      "gcups_per_chip": round(gcups / n, 3),
+        results[n] = {"gcups_total": round(gcups, 6),
+                      "gcups_per_chip": round(gcups / n, 6),
                       "weak_scaling_eff": round(eff, 3),
                       "wall_s": round(dt, 2)}
         print(json.dumps({"devices": n, **results[n]}), flush=True)
