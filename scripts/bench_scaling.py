@@ -26,17 +26,21 @@ import numpy as np
 
 
 def run(n_devices, base, iters, dtype, path, cfl):
-    from openhyperflow2d_tpu.examples import reacting_rans_deck
+    from openhyperflow2d_tpu.examples import channel_deck
     from openhyperflow2d_tpu.parallel.mesh import make_mesh, shard_solver
     from openhyperflow2d_tpu.parallel.shard_step import make_shard_chunk
     from openhyperflow2d_tpu.solver.init import build_case
     from openhyperflow2d_tpu.solver.runner import Solver
 
     nx, ny = n_devices * base, base
-    # CFL 0.1: the synthetic reacting case is marginal at CFL 0.25 for
-    # some grid sizes (Tg<0 within ~35 iters at 192^2); the scaling
-    # metric is comm overhead, not chemistry margin
-    deck = reacting_rans_deck(nx, ny, cfl=cfl)
+    # NS + k-eps channel (same 9-equation compute path incl. species
+    # transport and the chemistry property loop) WITHOUT the igniting
+    # fuel/oxidizer shear layer: the reacting deck goes Tg<0 within tens
+    # of iterations once the channel gets long (any CFL), which is a
+    # physics property of that synthetic case, not a comm-overhead one
+    deck = channel_deck(nx=nx, ny=ny, u=500.0, problem_type=1,
+                        turb_model=4, turb_ext_model=4, cfl=cfl,
+                        beta=0.95)
     case = build_case(deck, dtype=dtype)
     if path == "shard_map" and n_devices > 1:
         solver = Solver(case)
