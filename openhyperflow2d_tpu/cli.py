@@ -55,6 +55,14 @@ def main(argv=None):
                     help="reference .hf2d swap-file semantics: auto-resume "
                     "from <outdir>/<Project>.hf2d when present, sync it "
                     "every outer cycle (--no-swap disables)")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: jax.distributed coordinator "
+                    "address host:port (launch one process per host "
+                    "with --num-processes/--process-id; outputs are "
+                    "written by process 0 from the per-host shard "
+                    "assembly)")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
     args = ap.parse_args(argv)
 
     import jax
@@ -70,6 +78,11 @@ def main(argv=None):
     from .solver.checkpoint import load_checkpoint, save_checkpoint
     from .solver.init import build_case
     from .solver.runner import Solver
+
+    from .parallel.multihost import init_distributed, is_primary
+    if args.num_processes > 1:
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     platform = jax.devices()[0].platform
     dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
@@ -94,8 +107,15 @@ def main(argv=None):
     tile = tuple(int(v) for v in args.pallas_tile.split("x"))
     solver = Solver(case, use_pallas=args.pallas, pallas_tile=tile,
                     pallas_fuse=args.fuse)
+    primary = is_primary()
     n_dev = args.devices or len(jax.devices())
-    if n_dev > 1:
+    if args.num_processes > 1:
+        from .parallel.multihost import shard_solver_global
+        shard_solver_global(solver, make_mesh(n_dev))
+        if primary:
+            print(f"sharded over {n_dev} devices / "
+                  f"{args.num_processes} processes")
+    elif n_dev > 1:
         shard_solver(solver, make_mesh(n_dev))
         print(f"sharded over {n_dev} devices")
 
@@ -109,9 +129,10 @@ def main(argv=None):
     mon_path = os.path.join(args.outdir, f"Monitors-{name}")
     plt_path = os.path.join(args.outdir, f"{name}.plt")
     tp_path = os.path.join(args.outdir, f"tp-{name}.plt")
-    save_rms_header(rms_path)
-    if case.monitor_points:
-        save_monitors_header(mon_path, len(case.monitor_points))
+    if primary:
+        save_rms_header(rms_path)
+        if case.monitor_points:
+            save_monitors_header(mon_path, len(case.monitor_points))
 
     cycles = 0
     while True:
@@ -128,7 +149,16 @@ def main(argv=None):
         if case.sources:
             apply_sources(case.grid, case.sources, solver.last_iter)
             solver.set_sources(case.grid.Src)
-        st = solver.host_state()
+        st = solver.host_state()   # collective under multi-process
+        if not primary:
+            # worker processes only participate in collectives + exit test
+            if solver.stats.unstable:
+                return 1
+            if not solver.monitor_condition(diags):
+                break
+            if args.max_cycles and cycles >= args.max_cycles:
+                break
+            continue
         for (x0, y0, dyc) in case.xcuts:
             mp = calc_mass_flow_rate_x(case.grid, st, x0, y0, dyc)
             print(f"XCut x0={x0} y0={y0} dy={dyc}: mass flow {mp:.6g} kg/s")
@@ -185,11 +215,11 @@ def main(argv=None):
         if case.isOutHeatFluxY:
             save_y_heat_flux(os.path.join(args.outdir, f"HeatFlux-Y-{name}"),
                              case.grid, st, case.params.Ts0)
-        save_checkpoint(ckpt_path, solver)
+        save_checkpoint(ckpt_path, solver, st=st)
         if args.swap and case.swap_path:
             # per-cycle swap sync (deeps2d_core.cpp:1818-1848)
             from .io_out.swapfile import write_swap_file
-            write_swap_file(case.swap_path, solver, case.grid)
+            write_swap_file(case.swap_path, solver, case.grid, st=st)
 
         if solver.stats.unstable:
             err_path = os.path.join(args.outdir, f"{name}-err.plt")

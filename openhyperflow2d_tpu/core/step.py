@@ -160,7 +160,9 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     tmp = S_eff
     abs_dd = next_s - tmp
     big = jnp.abs(tmp) > 1.e-15
-    dd_local = jnp.where(big, jnp.abs(_safe_div(abs_dd, tmp)), 1.0)
+    # |tmp| > 1e-15 implies tmp != 0, so the safe denominator reuses `big`
+    dd_local = jnp.where(big, jnp.abs(abs_dd / jnp.where(big, tmp, 1.0)),
+                         1.0)
     if p.bff in (fl.BFF_SQR, fl.BFF_SQRR):
         sqrt_res = jnp.where(big, jnp.sqrt(dd_local), 0.0)
 
@@ -195,7 +197,8 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     beta_out = jnp.where(dd_gate, new_beta, beta)
 
     if return_fields:
-        S_committed = jnp.where(evolve, next_s, S_eff)
+        # next_s already carries the evolve selection (pass 1 tail)
+        S_committed = next_s
         fields = {"abs_dd": abs_dd, "tmp": tmp, "dd_local": dd_local,
                   "gate": dd_gate, "dt_used": dt_}
         return S_committed, beta_out, dSdx_new, dSdy_new, fields
@@ -217,7 +220,8 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
         rms_out = jnp.where(irms > 0, jnp.sqrt(_safe_div(rms, irms)), rms)
     dd_max = jnp.max(jnp.where(dd_gate, dd_local, 0.0), axis=(-2, -1))
 
-    S_committed = jnp.where(evolve, next_s, S_eff)
+    # next_s already carries the evolve selection (pass 1 tail)
+    S_committed = next_s
 
     diag = {"RMS": rms_out, "DD_max": dd_max, "dt_used": dt_}
     return S_committed, beta_out, dSdx_new, dSdy_new, diag

@@ -189,12 +189,15 @@ def state_from_swap(path: str, solver) -> None:
     solver.global_time = float(d["time"][0, 0])
 
 
-def write_swap_file(path: str, solver, grid) -> None:
-    """Write the solver state as a reference-layout .hf2d."""
+def write_swap_file(path: str, solver, grid, st=None) -> None:
+    """Write the solver state as a reference-layout .hf2d.
+
+    ``st``: optionally a pre-fetched host state — under a multi-process
+    mesh host_state() is a collective, so the caller must fetch it on
+    every process and only WRITE on the primary."""
     p = solver.params
-    st = solver.host_state()
+    st = st if st is not None else solver.host_state()
     out = np.zeros((p.MaxX, p.MaxY), dtype=_np_dtype())
-    meta = solver.meta
 
     def put(name, val, count=1):
         if count > 1:
@@ -218,8 +221,8 @@ def write_swap_file(path: str, solver, grid) -> None:
     put("Y", st.Yc, 4)
     put("droYdx", st.droYdx, 4)
     put("droYdy", st.droYdy, 4)
-    put("Uw", np.asarray(meta.Uw))
-    put("Vw", np.asarray(meta.Vw))
+    put("Uw", grid.Uw)
+    put("Vw", grid.Vw)
     put("CT", grid.CT.astype(np.uint64))
     put("TurbType", grid.TCT.astype(np.uint64))
     put("idXl", grid.idXl)

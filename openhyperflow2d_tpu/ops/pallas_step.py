@@ -94,7 +94,10 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     red_max = red_max or ident
     red_min = red_min or ident
     if k_loop is None:
-        k_loop = os.environ.get("HF2D_KLOOP", "0") == "1"
+        # rolled K-loop by default: caps Mosaic compile time and VMEM
+        # liveness, and measured slightly faster than the unrolled form
+        # (0.537 vs 0.48-0.52 GCUPS at 2048^2 K=4; scripts/tile_sweep.py)
+        k_loop = os.environ.get("HF2D_KLOOP", "1") == "1"
     TX, TY = tile
     # Pallas TPU blocks must have their last two dims divisible by (8, 128):
     # round the tile up and use asymmetric halos that preserve divisibility.
@@ -407,7 +410,13 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
     """Build chunk(state, n_iters, start_iter, src_ext) running the fused
     kernel.
 
-    Matches make_fast_chunk's interface and prologue/epilogue structure.
+    Matches make_fast_chunk's interface and prologue/epilogue structure
+    (plus an optional trailing ``meta_arg``: when the Solver passes the
+    GridMeta as a runtime argument, the exploded windows and static ctx
+    are computed on device per call instead of being baked into the
+    module as constants — at 4096² the baked exploded meta alone exceeds
+    the remote-compile request limit, and even at 2048² it was a ~200 MB
+    upload per compile).
     ``fuse_iters`` (K) fuses K whole iterations per kernel launch (see
     module docstring for the dt-freezing semantics).  ``vmem_limit_bytes``
     raises Mosaic's VMEM budget above the 16 MB default scoped limit — the
@@ -416,20 +425,22 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
     """
     p = params
     K = int(fuse_iters)
-    make_block, aux_at, _, explode = _machinery(
-        meta, p, chem, beta_tab, cfl_tab, turb_start, tile, K,
-        _default_vmem(vmem_limit_bytes))
-    block_k = make_block(K)
-    ctx_g = build_static_ctx(meta, p)
+    vmem = _default_vmem(vmem_limit_bytes)
 
-    def chunk(state: SolverState, n_iters: int, start_iter, src_ext):
+    def chunk(state: SolverState, n_iters: int, start_iter, src_ext,
+              meta_arg: GridMeta = None):
+        mt = meta if meta_arg is None else meta_arg
+        make_block, aux_at, _, explode = _machinery(
+            mt, p, chem, beta_tab, cfl_tab, turb_start, tile, K, vmem)
+        block_k = make_block(K)
+        ctx_g = build_static_ctx(mt, p)
         if not p.has_ext_src:
             src_ext = jnp.zeros((9, p.MaxX, p.MaxY), p.jdtype)
             src_ex = None
         else:
             src_ex = explode(src_ext)
         aux0 = aux_at(start_iter)
-        S_c, beta_c, _, _, diag0 = pass12(state, meta, p, aux0, ctx=ctx_g)
+        S_c, beta_c, _, _, diag0 = pass12(state, mt, p, aux0, ctx=ctx_g)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
                                      "beta": beta_c}))
         nb, rem = divmod(n_iters - 1, K)
@@ -447,7 +458,7 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                      jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
                                   diags, d2))
         full = expand(slim, p, src_ext)
-        out, dt_new, unstable_last = gfc(full, meta, p, chem,
+        out, dt_new, unstable_last = gfc(full, mt, p, chem,
                                          aux_at(start_iter + n_iters - 1),
                                          ctx=ctx_g)
         out = SolverState(**{**out.__dict__, "dt": dt_new})

@@ -21,9 +21,13 @@ import numpy as np
 CHECKPOINT_VERSION = 1
 
 
-def save_checkpoint(path: str, solver) -> None:
-    """Persist solver dynamic state + bookkeeping."""
-    state = solver.host_state()
+def save_checkpoint(path: str, solver, st=None) -> None:
+    """Persist solver dynamic state + bookkeeping.
+
+    ``st``: optionally a pre-fetched host state (under a multi-process
+    mesh host_state() is a collective — fetch on all processes, write on
+    the primary only)."""
+    state = st if st is not None else solver.host_state()
     arrays = {f.name: np.asarray(getattr(state, f.name))
               for f in dataclasses.fields(state)}
     np.savez_compressed(

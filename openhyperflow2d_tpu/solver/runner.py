@@ -89,10 +89,21 @@ class Solver:
                                               is_init=True))
             self.state = self._init_fill(self.state)
 
-        self._chunk_fn = jax.jit(self._make_chunk_fn(), static_argnums=(1,))
+        # donate the incoming state buffers: the chunk's output state has
+        # the same shapes, so XLA reuses the allocation — at 4Kx4K the
+        # full SolverState is ~7.6 GB and without donation input+output
+        # both stay live across the call (HBM OOM on a 16 GB chip)
+        self._chunk_fn = jax.jit(self._make_chunk_fn(), static_argnums=(1,),
+                                 donate_argnums=(0,))
 
     def _make_chunk_fn(self):
+        # pass the GridMeta as a runtime argument instead of closing over
+        # it: required under a multi-process mesh, and it keeps the Pallas
+        # module free of baked exploded-meta constants (whose serialized
+        # size breaks remote compiles at 4Kx4K)
+        self._pass_meta = getattr(self, "_multihost", False)
         if getattr(self, "use_pallas", False):
+            self._pass_meta = True
             from ..ops.pallas_step import make_pallas_chunk
             return make_pallas_chunk(
                 self.meta, self.params, self.chem,
@@ -120,7 +131,7 @@ class Solver:
 
     def run_iters(self, n_iters: int):
         """Run ``n_iters`` inner iterations; returns stacked diagnostics."""
-        extra = ((self.meta,) if getattr(self, "_multihost", False) else ())
+        extra = ((self.meta,) if getattr(self, "_pass_meta", False) else ())
         state, diags = self._chunk_fn(self.state, n_iters,
                                       jnp.asarray(self.last_iter),
                                       self._src_ext, *extra)
@@ -159,16 +170,16 @@ class Solver:
         cycle, not per iteration, so the scalar-unit cost is negligible
         next to the 2 GB/cycle D2H it replaces at 4Kx4K."""
         p = self.params
-        meta = self.meta
-
-        def fn(S0, dUdy, dVdx, mu, y_plus_old):
-            wall = ((meta.CT & jnp.uint32(fl.CT_WALL_NO_SLIP_2D))
+        
+        def fn(S0, dUdy, dVdx, mu, y_plus_old, ct, i_wall,
+               j_wall, l_min):
+            wall = ((ct & jnp.uint32(fl.CT_WALL_NO_SLIP_2D))
                     == jnp.uint32(fl.CT_WALL_NO_SLIP_2D)) | \
-                   ((meta.CT & jnp.uint32(fl.CT_WALL_LAW_2D))
+                   ((ct & jnp.uint32(fl.CT_WALL_LAW_2D))
                     == jnp.uint32(fl.CT_WALL_LAW_2D))
-            solid = ((meta.CT & jnp.uint32(fl.CT_SOLID_2D))
+            solid = ((ct & jnp.uint32(fl.CT_SOLID_2D))
                      == jnp.uint32(fl.CT_SOLID_2D))
-            is_set = ((meta.CT & jnp.uint32(fl.CT_NODE_IS_SET_2D))
+            is_set = ((ct & jnp.uint32(fl.CT_NODE_IS_SET_2D))
                       == jnp.uint32(fl.CT_NODE_IS_SET_2D))
             active = is_set & ~solid
             tau_w = (jnp.abs(dUdy) + jnp.abs(dVdx)) * mu
@@ -176,10 +187,10 @@ class Solver:
             u_w = jnp.sqrt(jnp.where(S0 != 0, tau_w / rho_s, 0.0) + 1e-30)
             # non-solid wall set only (GetWallNodes, 2081-2104)
             u_map = jnp.where(wall & ~solid, u_w, 0.0)
-            idx = (meta.i_wall * p.MaxY + meta.j_wall).reshape(-1)
+            idx = (i_wall * p.MaxY + j_wall).reshape(-1)
             u_at = jnp.take(u_map.reshape(-1), idx).reshape(S0.shape)
             mu_s = jnp.where(mu != 0, mu, 1)
-            yp = jnp.abs(u_at * meta.l_min * S0 / mu_s)
+            yp = jnp.abs(u_at * l_min * S0 / mu_s)
             return jnp.where(active, yp, y_plus_old)
 
         return jax.jit(fn)
@@ -189,8 +200,10 @@ class Solver:
         if not hasattr(self, "_yplus_fn"):
             self._yplus_fn = self._yplus_device_fn()
         st = self.state
+        m = self.meta
         new_yp = self._yplus_fn(st.S[fl.i2d_Rho], st.dUdy, st.dVdx, st.mu,
-                                st.y_plus)
+                                st.y_plus, m.CT, m.i_wall, m.j_wall,
+                                m.l_min)
         self.state = SolverState(**{**st.__dict__, "y_plus": new_yp})
 
     def recalc_y_plus_host(self):

@@ -93,3 +93,37 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     got = (tmp_path / "mh.plt").read_bytes()
     want = ref_plt.read_bytes()
     assert got == want, "multi-process Tecplot differs from single-process"
+
+
+@pytest.mark.slow
+def test_cli_multiprocess(tmp_path):
+    """CLI end-to-end under 2 processes: process 0 writes the outputs."""
+    from openhyperflow2d_tpu.config.deck import deck_to_text
+    from openhyperflow2d_tpu.examples import channel_deck
+
+    deck = channel_deck(nx=64, ny=32, nmax=5)
+    deck.data["ProjectName"] = "mh"
+    deck_file = tmp_path / "mh.dat"
+    deck_file.write_text(deck_to_text(deck))
+    port = _free_port()
+    env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+    wrapper = tmp_path / "cli_worker.py"
+    wrapper.write_text(
+        "import sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from openhyperflow2d_tpu.cli import main\n"
+        "sys.exit(main(sys.argv[1:]))\n")
+    procs = [subprocess.Popen(
+        [sys.executable, str(wrapper), str(deck_file),
+         "--outdir", str(tmp_path / "mhout"), "--max-cycles", "2",
+         "--coordinator", f"127.0.0.1:{port}",
+         "--num-processes", "2", "--process-id", str(i)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    assert (tmp_path / "mhout" / "mh.plt").exists()
+    assert (tmp_path / "mhout" / "RMS-mh").exists()
