@@ -15,7 +15,7 @@ import numpy as np
 
 
 def main():
-    size = int(os.environ.get("BENCH_SIZE", "2048"))
+    size = int(os.environ.get("BENCH_SIZE", "4096"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
