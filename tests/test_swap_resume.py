@@ -98,3 +98,48 @@ def test_cli_auto_resume(tmp_path, capsys):
     assert "PreloadFlag=1" in out2
     t2 = float(out2.split("t=")[-1].split("s")[0])
     assert t2 > t1 * 1.5               # GlobalTime continued, not reset
+
+
+GOLDEN_SWAP = "/tmp/golden/OS500/ObliqueShock.hf2d"
+GOLDEN_RESUME_PLT = "/tmp/golden/OS500resume/ObliqueShock.plt"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not (os.path.exists(GOLDEN_SWAP)
+                         and os.path.exists(GOLDEN_RESUME_PLT)),
+                    reason="reference golden swap not generated on this "
+                           "machine (see VALIDATION.md)")
+def test_build_case_preloads_reference_swap(tmp_path):
+    """The deck-driven auto-resume path (build_case(use_swap=True)) maps a
+    REFERENCE-written .hf2d — full PreloadFlag semantics including the
+    per-bound isReset gating (all ObliqueShock bounds carry isReset=0) —
+    and continues within the same envelope as the reference's own resumed
+    run (test_swapfile.test_resume_from_reference_swap tolerances)."""
+    import shutil
+
+    from openhyperflow2d_tpu.config.deck import load_deck
+    from openhyperflow2d_tpu.io_out.tecplot import read_tecplot_zone
+
+    shutil.copy(GOLDEN_SWAP, tmp_path / "ObliqueShock.hf2d")
+    deck = load_deck(
+        "/root/reference/OpenHyperFLOW2D/TestCases/ObliqueShock.dat")
+    case = build_case(deck, serial_dt_mode=True, use_swap=True,
+                      swap_dir=str(tmp_path))
+    assert case.preloaded
+    s = Solver(case)
+    # GlobalTime restores from node(0,0).time (deeps2d_core.cpp:4621) —
+    # which the reference never actually writes during the run for the
+    # shipped decks (the per-node time stamp at :867 does not reach the
+    # corner), so the reference's own resume restarts at 0 and ours must
+    # match that quirk exactly
+    from openhyperflow2d_tpu.io_out.swapfile import read_swap_file
+    t00 = float(read_swap_file(GOLDEN_SWAP, 320, 80)["time"][0, 0])
+    assert s.global_time == t00
+    d = s.run_iters(101)
+    assert not np.asarray(d["unstable"]).any()
+    st = s.host_state()
+    g = read_tecplot_zone(GOLDEN_RESUME_PLT, 320, 80)
+    for name, mine in [("p", st.p), ("U", st.U), ("Rho", st.S[0])]:
+        err = np.abs(np.asarray(mine) - g[name]) / np.abs(g[name]).max()
+        assert err.mean() < 1e-4, (name, err.mean())
+        assert err.max() < 3e-2, (name, err.max())
