@@ -233,11 +233,13 @@ def main(argv=None):
         if args.max_cycles and cycles >= args.max_cycles:
             break
 
-    st = solver.host_state()
-    save_data_2d(plt_path, case.grid, st, case.params, solver.global_time,
-                 is_p_asterisk_out=case.is_p_asterisk_out)
-    print(f'Results saved in file "{plt_path}".\n\n'
-          f"Ready. Computation finished.")
+    st = solver.host_state()          # collective under multi-process
+    if primary:
+        save_data_2d(plt_path, case.grid, st, case.params,
+                     solver.global_time,
+                     is_p_asterisk_out=case.is_p_asterisk_out)
+        print(f'Results saved in file "{plt_path}".\n\n'
+              f"Ready. Computation finished.")
     return 0
 
 

@@ -126,7 +126,12 @@ class Solver:
         new = jnp.asarray(src, self.params.jdtype)
         old_sharding = getattr(self._src_ext, "sharding", None)
         if old_sharding is not None:
-            new = jax.device_put(new, old_sharding)
+            if getattr(self, "_multihost", False):
+                from ..parallel.multihost import make_global_array
+                new = make_global_array(np.asarray(src, self.params.dtype),
+                                        old_sharding)
+            else:
+                new = jax.device_put(new, old_sharding)
         self._src_ext = new
 
     def run_iters(self, n_iters: int):
