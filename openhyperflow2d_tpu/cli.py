@@ -140,6 +140,27 @@ def main(argv=None):
         diags, secs = solver.run_cycle()
         cycles += 1
         mrms, k = solver.max_rms(diags)
+        if case.isVerboseOutput and primary:
+            # per-NOutStep step log (deeps2d_core.cpp:1603-1637) from the
+            # per-iteration diag history; step_time/step-rate are the
+            # cycle averages (the whole cycle is one compiled scan)
+            rms_h = np.asarray(diags["RMS"])
+            dts_h = np.asarray(diags["dt_used"])
+            it0 = solver.last_iter - rms_h.shape[0]
+            names = ["Rho", "RhoU", "RhoV", "RhoE", "RhoYfu", "RhoYox",
+                     "RhoYcp", "k", "eps"]
+            rate = solver.stats.steps_per_sec
+            d_time = case.NOutStep / max(rate, 1e-9)
+            for it in range(0, rms_h.shape[0], case.NOutStep):
+                mi = case.MonitorIndex
+                if 0 < mi < 5:
+                    kk = mi - 1
+                else:
+                    kk = int(rms_h[it][:4].argmax())
+                print(f"Step No {it0 + it} maxRMS[{names[kk]}]="
+                      f"{rms_h[it][kk] * 100:.6g} % step_time="
+                      f"{d_time:.6g} sec ({rate:.6g} step/sec) "
+                      f"dt={dts_h[it]:.6g}", flush=True)
         print(f"Cycle {cycles}: iter={solver.last_iter} "
               f"maxRMS[{k}]={mrms * 100:.4f}% t={solver.global_time:.6g}s "
               f"({solver.stats.steps_per_sec:.1f} step/sec)", flush=True)
