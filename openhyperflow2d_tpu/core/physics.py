@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from ..config.tables import table_lookup
 from . import flags as fl
-from .state import ChemTables, GridMeta, SolverParams, SolverState
+from .state import (ChemTables, GridMeta, SolverParams, SolverState,
+                    node_dx_dy)
 from .static_ctx import StaticCtx, build_static_ctx, iscond
 
 TURB_INTENSITY = 0.005   # FlowNodeTurbulence2D::I (hyper_flow_turbulence.hpp:135)
@@ -131,8 +132,11 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
         U_pre = jnp.where(wall_ns, div_rho(s[fl.i2d_RhoU]), U)
         V_pre = jnp.where(wall_ns, div_rho(s[fl.i2d_RhoV]), V)
         if p.isSrcAdd:
-            sa_rho = (meta.BGX * (U_pre - meta.Uw) * rho / p.dx
-                      + meta.BGY * (V_pre - meta.Vw) * rho / p.dy)
+            # per-node dx/dy on non-uniform meshes (hyper_flow_node.hpp:
+            # 463-464 reads the node's own spacing)
+            ndx, ndy = node_dx_dy(meta, p)
+            sa_rho = (meta.BGX * (U_pre - meta.Uw) * rho / ndx
+                      + meta.BGY * (V_pre - meta.Vw) * rho / ndy)
             src_add[fl.i2d_Rho] = jnp.where(wall_ns, sa_rho, 0.0)
             src_add[fl.i2d_RhoU] = jnp.where(
                 wall_ns, meta.BGX * (U_pre - meta.Uw) * rho, 0.0)
@@ -478,7 +482,12 @@ def _turb_mod_rans(state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
     # ---------------- Smagorinsky LES (927-956) ----------------------------
     if has_smag:
         Cs = 0.1
-        delta_les = (p.dx * p.dy) ** 0.5
+        if p.uniform_mesh:
+            delta_les = (p.dx * p.dy) ** 0.5
+        else:
+            # per-node filter width sqrt(dx*dy) (hyper_flow_node.hpp:939)
+            ndx, ndy = node_dx_dy(meta, p)
+            delta_les = jnp.sqrt(ndx * ndy)
         Wxy_s = 0.5 * (state.dVdx - state.dUdy)
         Omega_s = jnp.sqrt(2.0 * Wxy_s * Wxy_s)
         mu_t_sm = jnp.maximum(0.0, rho * (Cs * delta_les) ** 2 * Omega_s)

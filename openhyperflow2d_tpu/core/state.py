@@ -98,9 +98,29 @@ class GridMeta:
     l_min: jnp.ndarray    # (X, Y) wall distance
     i_wall: jnp.ndarray   # (X, Y) int32
     j_wall: jnp.ndarray
+    # Per-node spacing maps — the `_UNIFORM_MESH_`-off analog (per-node
+    # dx/dy fields, hyper_flow_node.hpp:150).  None (the default) = uniform
+    # mesh, matching the reference's own build (.models:5).  When set,
+    # they replace the scalar dx/dy exactly where the reference reads
+    # FlowNode2D::dx/dy — the moving-wall SrcAdd (hyper_flow_node.hpp:
+    # 463-464), the mixing length l (608-610) and the Smagorinsky filter
+    # width (939-947); the pass-1 stencil constants, gradients and local
+    # dt keep the *global* dx/dy, which is what the reference hot loop
+    # does even in non-uniform builds (deeps2d_core.cpp:643-644, 843-844,
+    # and dx_local=dx in CalcHeatOnWallSources, 2714-2715).
+    dx_map: jnp.ndarray = None
+    dy_map: jnp.ndarray = None
 
 
 _register(GridMeta, [f.name for f in dataclasses.fields(GridMeta)])
+
+
+def node_dx_dy(meta: "GridMeta", params: "SolverParams"):
+    """Per-node spacing: (dx, dy) scalars for uniform meshes, the staged
+    (X, Y) maps otherwise (FlowNode2D::dx/dy, hyper_flow_node.hpp:150)."""
+    if params.uniform_mesh:
+        return params.dx, params.dy
+    return meta.dx_map, meta.dy_map
 
 
 @dataclass
@@ -216,6 +236,9 @@ class SolverParams:
     # ascending — those lookups take the telescoped slope-delta fast path
     # in table_lookup (exact identity for ascending knots)
     chem_asc: tuple = ()
+    # uniform mesh (the reference's _UNIFORM_MESH_, .models:5); False makes
+    # the node-local physics read GridMeta.dx_map/dy_map instead of dx/dy
+    uniform_mesh: bool = True
     # allow reciprocal-multiply transforms of repeated divisions (changes
     # last-ulp rounding; off for reference-parity golden validation)
     fast_math: bool = False
@@ -281,4 +304,8 @@ def meta_from_grid(grid) -> GridMeta:
         BGX=jnp.asarray(grid.BGX, f8), BGY=jnp.asarray(grid.BGY, f8),
         Uw=jnp.asarray(grid.Uw, f8), Vw=jnp.asarray(grid.Vw, f8),
         l_min=jnp.asarray(grid.l_min, f8),
-        i_wall=jnp.asarray(grid.i_wall), j_wall=jnp.asarray(grid.j_wall))
+        i_wall=jnp.asarray(grid.i_wall), j_wall=jnp.asarray(grid.j_wall),
+        dx_map=(None if grid.extras.get("dx_map") is None
+                else jnp.asarray(grid.extras["dx_map"], f8)),
+        dy_map=(None if grid.extras.get("dy_map") is None
+                else jnp.asarray(grid.extras["dy_map"], f8)))

@@ -216,7 +216,13 @@ def build_static_ctx(meta, params, j0=0) -> StaticCtx:
     ewall = iscond(tct, fl.TCT_eps_Cmk2kXn_WALL_2D)
     sa_bc = (iscond(ct, fl.CT_WALL_NO_SLIP_2D) | wall_lawm
              | iscond(tct, fl.TCT_nu_t_CONST_2D))
-    l_base = jnp.maximum(meta.l_min, min(p.dx, p.dy)) * 0.41
+    if p.uniform_mesh:
+        min_dxdy = min(p.dx, p.dy)
+    else:
+        # per-node min(dy, dx) on non-uniform meshes (hyper_flow_node.hpp:
+        # 608 reads the node's own spacing for the mixing-length floor)
+        min_dxdy = jnp.minimum(meta.dx_map, meta.dy_map).astype(dtype)
+    l_base = jnp.maximum(meta.l_min, min_dxdy) * 0.41
     n_0 = meta.l_min * 0.41
     l_s = jnp.where(l_base != 0, l_base, 1)
     l_min_s = jnp.where(meta.l_min != 0, meta.l_min, 1)

@@ -423,6 +423,10 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
     fused kernel's live-plane stack exceeds it for tiles past (64, 128)
     (v5e has 128 MB VMEM).
     """
+    if not params.uniform_mesh:
+        raise NotImplementedError(
+            "the fused Pallas kernel supports uniform meshes only; run "
+            "non-uniform cases on the XLA path (core.step)")
     p = params
     K = int(fuse_iters)
     vmem = _default_vmem(vmem_limit_bytes)

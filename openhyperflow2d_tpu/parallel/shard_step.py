@@ -38,7 +38,18 @@ from ..core.step import (SlimState, StepAux, expand, gfc, make_aux, pass12,
 
 HALO = 3
 SLIM_BIG = [f for f in _SLIM_FIELDS if f != "dt"]
-META_FIELDS = [f for f in GridMeta.__dataclass_fields__]
+# the optional non-uniform spacing maps are excluded: the sharded fast
+# paths support uniform meshes only (make_* guards below) and the absent
+# (None) maps must not reach _pad_x / the shard_map leaf lists
+META_FIELDS = [f for f in GridMeta.__dataclass_fields__
+               if f not in ("dx_map", "dy_map")]
+
+
+def _require_uniform(params: SolverParams, path: str):
+    if not params.uniform_mesh:
+        raise NotImplementedError(
+            f"{path} supports uniform meshes only; run non-uniform cases "
+            "on the XLA path (core.step)")
 
 
 def _pad_x(a, px):
@@ -48,6 +59,7 @@ def _pad_x(a, px):
 
 def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
                      beta_tab, cfl_tab, turb_start, mesh: Mesh):
+    _require_uniform(params, "make_shard_chunk")
     p = params
     H = HALO
     n = mesh.shape["x"]
@@ -242,6 +254,7 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
     from ..core.static_ctx import build_static_ctx as _bsc
     from ..ops.pallas_step import _default_vmem, _machinery
 
+    _require_uniform(params, "make_pallas_shard_chunk")
     p = params
     K = int(fuse_iters)
     H = HALO * K

@@ -229,7 +229,8 @@ def _resolve_bound_flow(deck: Deck, key_prefix: str, flow_list, flow2d_list):
 def build_case(deck: Deck, dtype: str = "float64",
                serial_dt_mode: bool = False,
                serial_rms_mode: bool = None,
-               use_swap: bool = False, swap_dir: str = ".") -> Case:
+               use_swap: bool = False, swap_dir: str = ".",
+               dx_map=None, dy_map=None) -> Case:
     """Build a Case from a deck.
 
     With ``use_swap``, the reference's swap-file auto-resume semantics are
@@ -242,6 +243,16 @@ def build_case(deck: Deck, dtype: str = "float64",
     4639-4647), bound state is re-applied only for bounds whose deck
     ``.isReset`` key is set (3493-3505, 3751-3759), and GlobalTime is
     restored from node(0,0).time (4618-4621).
+
+    ``dx_map``/``dy_map`` (optional (MaxX, MaxY) arrays) activate the
+    non-uniform-mesh mode — the ``_UNIFORM_MESH_``-off analog (per-node
+    dx/dy, hyper_flow_node.hpp:150).  The maps feed exactly the code the
+    reference reads FlowNode2D::dx/dy from (moving-wall sources, mixing
+    length, Smagorinsky filter width); the stencil constants and local dt
+    keep the deck's global dx/dy, as the reference hot loop does even in
+    non-uniform builds (deeps2d_core.cpp:643-644, 843-844).  Geometry
+    construction (bounds/areas rasterization) is index-based and still
+    uses the deck's dx/dy.
     """
     chem = load_chem_data(deck)
     MaxX = deck.get_int("MaxX")
@@ -278,6 +289,20 @@ def build_case(deck: Deck, dtype: str = "float64",
 
     grid = HostGrid(MaxX, MaxY, dx, dy, ft=ft,
                     Hu=np.array(params.Hu), Tf=chem.Tf)
+
+    if dx_map is not None or dy_map is not None:
+        dx_map = (np.full((MaxX, MaxY), dx) if dx_map is None
+                  else np.asarray(dx_map, np.float64))
+        dy_map = (np.full((MaxX, MaxY), dy) if dy_map is None
+                  else np.asarray(dy_map, np.float64))
+        if dx_map.shape != (MaxX, MaxY) or dy_map.shape != (MaxX, MaxY):
+            raise ValueError(
+                f"dx_map/dy_map must be ({MaxX}, {MaxY}) node-spacing maps")
+        if (dx_map <= 0).any() or (dy_map <= 0).any():
+            raise ValueError("dx_map/dy_map entries must be positive")
+        grid.extras["dx_map"] = dx_map
+        grid.extras["dy_map"] = dy_map
+        params = dataclasses.replace(params, uniform_mesh=False)
 
     # ---- swap-file preload (LoadSwapFile2D, 3197-3252) ----------------------
     # the reference reads the GasSwapFile suffix key (2882) and maps the

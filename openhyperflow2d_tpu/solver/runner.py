@@ -103,6 +103,10 @@ class Solver:
         # size breaks remote compiles at 4Kx4K)
         self._pass_meta = getattr(self, "_multihost", False)
         if getattr(self, "use_pallas", False):
+            if not self.params.uniform_mesh:
+                raise NotImplementedError(
+                    "non-uniform meshes run on the XLA path only (the "
+                    "Pallas kernel is tuned for the uniform bench family)")
             self._pass_meta = True
             from ..ops.pallas_step import make_pallas_chunk
             return make_pallas_chunk(
