@@ -125,6 +125,15 @@ def main(argv=None):
         print(f"restored from {args.restore}: iter={solver.last_iter} "
               f"t={solver.global_time}")
 
+    def snapshot_cp(st):
+        # per-node Calc_Cp for the final snapshot column when is_Cx_calc
+        # (deeps2d_core.cpp:2664-2668)
+        if not case.is_Cx_calc:
+            return None
+        from .postproc.outcfd import calc_cp
+        fl2 = case.flow2d_list[case.Cx_params["Cx_Flow_index"] - 1]
+        return calc_cp(st, case.grid, fl2)
+
     rms_path = os.path.join(args.outdir, f"RMS-{name}")
     mon_path = os.path.join(args.outdir, f"Monitors-{name}")
     plt_path = os.path.join(args.outdir, f"{name}.plt")
@@ -187,14 +196,19 @@ def main(argv=None):
         save_rms_rows(rms_path, solver.last_iter - rms_hist.shape[0],
                       rms_hist, every=case.NOutStep)
         if case.is_Cx_calc:
-            from .postproc.outcfd import calc_cx, calc_cy
+            # Cx/Cy plus raw Fx/Fy forces (deeps2d_core.cpp:1810-1812)
+            from .postproc.outcfd import (calc_cx, calc_cy, calc_x_force,
+                                          calc_y_force)
             cp = case.Cx_params
             fl2 = case.flow2d_list[cp["Cx_Flow_index"] - 1]
-            cx = calc_cx(case.grid, st, cp["x0_body"], cp["y0_body"],
-                         cp["dx_body"], cp["dy_body"], fl2)
-            cy = calc_cy(case.grid, st, cp["x0_body"], cp["y0_body"],
-                         cp["dx_body"], cp["dy_body"], fl2)
-            print(f"Cx={cx:.6g} Cy={cy:.6g}")
+            body = (cp["x0_body"], cp["y0_body"], cp["dx_body"],
+                    cp["dy_body"])
+            cx = calc_cx(case.grid, st, *body, fl2)
+            cy = calc_cy(case.grid, st, *body, fl2)
+            fx = calc_x_force(case.grid, st, *body)
+            fy = calc_y_force(case.grid, st, *body)
+            print(f"Cx = {cx:.6g} Cy = {cy:.6g} "
+                  f"Fx = {fx:.6g} Fy = {fy:.6g}")
         if case.is_Cd_calc:
             from .postproc.outcfd import calc_cd, calc_cv
             cp = case.Cx_params
@@ -223,12 +237,15 @@ def main(argv=None):
                     solver.probe_many([(mp.x, mp.y)
                                        for mp in case.monitor_points]))
         if cycles % max(case.NSaveStep, 1) == 0:
+            cp_arr = snapshot_cp(st)
             save_data_2d(plt_path, case.grid, st, case.params,
                          solver.global_time, mode_append=False,
-                         is_p_asterisk_out=case.is_p_asterisk_out)
+                         is_p_asterisk_out=case.is_p_asterisk_out,
+                         cp_arr=cp_arr)
             save_data_2d(tp_path, case.grid, st, case.params,
                          solver.global_time, mode_append=(cycles > 1),
-                         is_p_asterisk_out=case.is_p_asterisk_out)
+                         is_p_asterisk_out=case.is_p_asterisk_out,
+                         cp_arr=cp_arr)
         if case.isOutHeatFluxX and case.flow2d_list:
             save_x_heat_flux(os.path.join(args.outdir, f"HeatFlux-X-{name}"),
                              case.grid, st, case.flow2d_list[0],
@@ -245,7 +262,9 @@ def main(argv=None):
         if solver.stats.unstable:
             err_path = os.path.join(args.outdir, f"{name}-err.plt")
             save_data_2d(err_path, case.grid, st, case.params,
-                         solver.global_time)
+                         solver.global_time,
+                         is_p_asterisk_out=case.is_p_asterisk_out,
+                         cp_arr=snapshot_cp(st))
             print(f"ERROR: Computational instability (Tg < 0); error "
                   f"snapshot saved to {err_path}")
             return 1
@@ -258,7 +277,8 @@ def main(argv=None):
     if primary:
         save_data_2d(plt_path, case.grid, st, case.params,
                      solver.global_time,
-                     is_p_asterisk_out=case.is_p_asterisk_out)
+                     is_p_asterisk_out=case.is_p_asterisk_out,
+                     cp_arr=snapshot_cp(st))
         print(f'Results saved in file "{plt_path}".\n\n'
               f"Ready. Computation finished.")
     return 0

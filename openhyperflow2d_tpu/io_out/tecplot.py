@@ -26,11 +26,16 @@ def _fmt(v: float) -> str:
 
 def save_data_2d(path: str, grid_meta, state, params, global_time: float,
                  mode_append: bool = False, is_p_asterisk_out: bool = False,
-                 cp_func=None):
+                 cp_arr=None):
     """Write a field snapshot (Tecplot POINT zone, gnuplot-compatible rows).
 
     ``grid_meta`` needs CT (host int array), l_min; ``state`` needs numpy
     S, U, V, Tg, p, mu_t, mu, y_plus arrays.
+
+    When ``is_p_asterisk_out`` the RT column (12) carries total pressure
+    p* instead of mu_t/mu (deeps2d_core.cpp:2644-2647); ``cp_arr``, when
+    given (the CLI passes ``calc_cp`` under ``is_Cx_calc``), fills the
+    final Cp column for every node (deeps2d_core.cpp:2664-2668).
     """
     X, Y = params.MaxX, params.MaxY
     ct = np.asarray(grid_meta.CT).astype(np.int64)
@@ -63,6 +68,9 @@ def save_data_2d(path: str, grid_meta, state, params, global_time: float,
                  f'F=POINT\n')
     k_arr = np.where(state.CP != state.R, state.CP / np.where(
         state.CP != state.R, state.CP - state.R, 1), 0.0)
+    if is_p_asterisk_out:
+        from ..postproc.outcfd import p_asterisk
+        p_ast = p_asterisk(state)
     for j in range(Y):
         for i in range(X):
             row = [f"{i * dx_out * 1.e3:.6g}", f"{dy_out * j * 1.e3:.6g}"]
@@ -80,8 +88,8 @@ def save_data_2d(path: str, grid_meta, state, params, global_time: float,
                     ycp = S[6, i, j] / S[0, i, j]
                     row += [_fmt(yfu), _fmt(yox), _fmt(ycp),
                             _fmt(abs(1 - yfu - yox - ycp))]
-                    if is_p_asterisk_out and cp_func is not None:
-                        row.append(_fmt(cp_func(i, j)))
+                    if is_p_asterisk_out:
+                        row.append(_fmt(p_ast[i, j]))
                     else:
                         row.append(_fmt(mu_t[i, j] / mu[i, j]
                                         if mu[i, j] != 0 else 0.0))
@@ -94,7 +102,9 @@ def save_data_2d(path: str, grid_meta, state, params, global_time: float,
                 row += [_fmt(mach), _fmt(l_min[i, j]), _fmt(y_plus[i, j])]
             else:
                 row += ["0", "0", "0"]
-            row.append("0")   # Cp column (is_Cx_calc handled separately)
+            # final Cp column: Calc_Cp per node when is_Cx_calc (the CLI
+            # passes cp_arr), "0" otherwise (deeps2d_core.cpp:2664-2668)
+            row.append(_fmt(cp_arr[i, j]) if cp_arr is not None else "0")
             lines.append("  ".join(row) + "\n")
         lines.append("\n")
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core import flags as fl
 from ..core.physics import _safe_div
@@ -193,7 +193,7 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
                           tuple(in_spec_for_slim(f) for f in _SLIM_FIELDS),
                           P()),
                 out_specs=out_specs,
-                check_rep=False)
+                check_vma=False)
             slim_leaves, diags = inner(
                 tuple(meta_leaves), src_pad,
                 tuple(getattr(slim_pad, f) for f in _SLIM_FIELDS),
@@ -376,7 +376,7 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                           tuple(in_spec_for_slim(f) for f in _SLIM_FIELDS),
                           P()),
                 out_specs=out_specs,
-                check_rep=False)
+                check_vma=False)
             slim_leaves, diags = inner(
                 tuple(meta_leaves), src_pad,
                 tuple(getattr(slim_pad, f) for f in _SLIM_FIELDS),

@@ -289,23 +289,47 @@ def calc_cv(grid, state, x0, y0, dy, p_amb, flow2d):
 
 
 def smooth_x(a):
-    """SmoothX (512-522) — in-place forward sweep, order-faithful."""
+    """SmoothX (512-522) — in-place forward sweep, order-faithful.
+
+    The reference's (j outer, i inner) sweep makes each column an
+    independent recurrence along i (a[i-1] is already updated, a[i+1] is
+    not), so the i loop stays sequential and all Y columns are processed
+    as one vector — O(X) numpy ops instead of O(X*Y) interpreted ones.
+    """
     X, Y = a.shape
-    for j in range(Y):
-        for i in range(1, X - 1):
-            if a[i + 1, j] > 0.0 and a[i - 1, j] > 0.0:
-                a[i, j] = 0.5 * (a[i + 1, j] + a[i - 1, j])
+    for i in range(1, X - 1):
+        cond = (a[i + 1, :] > 0.0) & (a[i - 1, :] > 0.0)
+        a[i, :] = np.where(cond, 0.5 * (a[i + 1, :] + a[i - 1, :]), a[i, :])
     return a
 
 
 def smooth_y(a):
-    """SmoothY (500-510)."""
+    """SmoothY (500-510) — sequential along j, vectorized across i (the
+    reference's inner i loop only reads rows j±1, so it is parallel)."""
     X, Y = a.shape
     for j in range(1, Y - 1):
-        for i in range(X):
-            if a[i, j + 1] > 0.0 and a[i, j - 1] > 0.0:
-                a[i, j] = 0.5 * (a[i, j + 1] + a[i, j - 1])
+        cond = (a[:, j + 1] > 0.0) & (a[:, j - 1] > 0.0)
+        a[:, j] = np.where(cond, 0.5 * (a[:, j + 1] + a[:, j - 1]), a[:, j])
     return a
+
+
+def _fold_max_nonzero(heat, m, q):
+    """One step of the reference heat-flux accumulator
+    (out_cfd_param.cpp:648-679): where mask ``m``, ``heat`` becomes
+    ``q`` if it is still exactly 0, else ``max(heat, q)``."""
+    return np.where(m, np.where(heat != 0.0, np.maximum(heat, q), q), heat)
+
+
+def _last_wall_value(vals, sel):
+    """Per-column value at the LAST selected j (the reference overwrites
+    Cp/St/Re/Pr at every wall node, so the last one wins); 0 where a
+    column has no selected node."""
+    X, Y = sel.shape
+    any_col = sel.any(axis=1)
+    # argmax on the reversed mask finds the last True per column
+    j_last = (Y - 1) - np.argmax(sel[:, ::-1], axis=1)
+    out = vals[np.arange(X), j_last]
+    return np.where(any_col, out, 0.0)
 
 
 def _lam_eff_5pt(grid, state):
@@ -383,35 +407,27 @@ def save_x_heat_flux(path, grid, state, flow2d, Ts, y_max, y_min,
     sel = np.zeros((X, Y), bool)
     sel[:, jlo:jhi] = wall_ns[:, jlo:jhi]
 
+    # j-ascending fold per column, vectorized across all X columns
+    # (order-faithful to the reference's per-node accumulator, see
+    # _fold_max_nonzero; Cp/St/Re/Pr take the last wall node per column)
     heat = np.zeros(X)
     alpha = np.zeros(X)
-    cp_prof = np.zeros(X)
-    st_prof = np.zeros(X)
     q_ref = np.zeros(X)
     a_ref = np.zeros(X)
-    re_prof = np.zeros(X)
-    pr_prof = np.zeros(X)
-    for i in range(X):
-        js = np.nonzero(sel[i])[0]
-        for j in js:
-            q = q_all[i, j]
-            if heat[i] != 0.0:
-                heat[i] = max(heat[i], q)
-                alpha[i] = max(alpha[i], alpha_all[i, j])
-                if ref_test:
-                    q_ref[i] = max(q_ref[i], q_ref_all[i, j])
-                    a_ref[i] = max(a_ref[i], alpha_ref_all[i, j])
-            else:
-                heat[i] = q
-                alpha[i] = alpha_all[i, j]
-                if ref_test:
-                    q_ref[i] = q_ref_all[i, j]
-                    a_ref[i] = alpha_ref_all[i, j]
-            cp_prof[i] = cp_all[i, j]
-            st_prof[i] = st_all[i, j]
-            if ref_test:
-                re_prof[i] = re_all[i, j]
-                pr_prof[i] = pr_all[i, j]
+    for j in range(jlo, jhi):
+        m = sel[:, j]
+        if not m.any():
+            continue
+        heat = _fold_max_nonzero(heat, m, q_all[:, j])
+        alpha = _fold_max_nonzero(alpha, m, alpha_all[:, j])
+        if ref_test:
+            q_ref = _fold_max_nonzero(q_ref, m, q_ref_all[:, j])
+            a_ref = _fold_max_nonzero(a_ref, m, alpha_ref_all[:, j])
+    cp_prof = _last_wall_value(cp_all, sel)
+    st_prof = _last_wall_value(st_all, sel)
+    if ref_test:
+        re_prof = _last_wall_value(re_all, sel)
+        pr_prof = _last_wall_value(pr_all, sel)
 
     with open(path, "w") as f:
         if ref_test:
@@ -439,12 +455,14 @@ def save_y_heat_flux(path, grid, state, Ts):
     Tg = np.asarray(state.Tg)
     lam_eff = _lam_eff_5pt(grid, state)
     q_all = lam_eff * (Tg - Ts) / grid.dx
+    # i-ascending fold per row, vectorized across all Y rows (the
+    # reference scans i inside j, out_cfd_param.cpp:705-757; note its
+    # i < X-1 bound excludes the last column)
     heat = np.zeros(Y)
-    for j in range(Y):
-        for i in range(X - 1):
-            if wall_ns[i, j]:
-                q = q_all[i, j]
-                heat[j] = max(heat[j], q) if heat[j] != 0.0 else q
+    for i in range(X - 1):
+        m = wall_ns[i, :]
+        if m.any():
+            heat = _fold_max_nonzero(heat, m, q_all[i, :])
     with open(path, "w") as f:
         f.write("#VARIABLES = Y, HeatFlux(Y)\n")
         for j in range(Y):

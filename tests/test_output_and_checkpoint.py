@@ -35,6 +35,39 @@ def test_tecplot_roundtrip(channel_solver, tmp_path):
     np.testing.assert_allclose(g["p"], np.asarray(st.p), rtol=2e-5)
 
 
+def test_snapshot_p_asterisk_and_cp_columns(channel_solver, tmp_path):
+    """is_p_asterisk_out puts p* in column 12 and cp_arr fills the final
+    Cp column (deeps2d_core.cpp:2644-2647, 2664-2668)."""
+    from openhyperflow2d_tpu.core import flags as fl
+    case, s = channel_solver
+    st = s.host_state()
+    X, Y = case.params.MaxX, case.params.MaxY
+    cp_arr = np.linspace(-1.0, 1.0, X * Y).reshape(X, Y)
+    path = str(tmp_path / "past.plt")
+    save_data_2d(path, case.grid, st, case.params, s.global_time,
+                 is_p_asterisk_out=True, cp_arr=cp_arr)
+    with open(path) as f:
+        header = f.readline()
+    assert ", p*," in header
+    g = read_tecplot_zone(path, X, Y)
+    ps = outcfd.p_asterisk(st)
+    gas = ~case.grid.is_cond(fl.CT_SOLID_2D)
+    rho = np.asarray(st.S)[0]
+    written = gas & (rho != 0.0)
+    # 6-significant-digit formatting round trip
+    np.testing.assert_allclose(g["mu_t_mu"][written], ps[written],
+                               rtol=2e-5)
+    np.testing.assert_allclose(g["Cp"], cp_arr, rtol=2e-5, atol=1e-5)
+    # default path still writes mu_t/mu and a zero Cp column
+    path2 = str(tmp_path / "mut.plt")
+    save_data_2d(path2, case.grid, st, case.params, s.global_time)
+    g2 = read_tecplot_zone(path2, X, Y)
+    mut = np.asarray(st.mu_t) / np.asarray(st.mu)
+    np.testing.assert_allclose(g2["mu_t_mu"][written], mut[written],
+                               rtol=2e-5, atol=1e-8)
+    assert (g2["Cp"] == 0).all()
+
+
 def test_p_asterisk_and_mass_flow(channel_solver):
     case, s = channel_solver
     st = s.host_state()
