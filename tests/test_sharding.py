@@ -48,6 +48,26 @@ def test_sharded_state_is_distributed():
     assert len(s.state.S.addressable_shards) == 4
 
 
+def test_2d_mesh_matches_single_device():
+    """(2,4) X-by-Y mesh (BASELINE.json's 'SPMD 2D mesh' north star):
+    GSPMD shards both spatial axes — spec_for emits P(None,'x','y') —
+    and the result stays bit-identical to single-device."""
+    deck = channel_deck(nx=64, ny=32, mach2_v=-100.0)
+    ref = Solver(build_case(deck))
+    ref.run_iters(10)
+    ref_S = np.asarray(ref.state.S)
+
+    sh = Solver(build_case(deck))
+    mesh = make_mesh(8, axis_names=("x", "y"), shape=(2, 4))
+    shard_solver(sh, mesh)
+    shards = sh.state.S.addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape == (9, 32, 8)   # X/2, Y/4 tiles
+    sh.run_iters(10)
+    np.testing.assert_allclose(np.asarray(sh.state.S), ref_S,
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_reacting_rans_sharded_runs():
     deck = reacting_rans_deck(64, 32)
     case = build_case(deck)
