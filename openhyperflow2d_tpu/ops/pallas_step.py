@@ -12,17 +12,27 @@ Tiling: one fused iteration needs a halo ring H=3 (deepest dependency
 chain: center pass-1 needs neighbor dSdx, which needs flux A two cells
 out, which needs gradients three cells out); K iterations need 3K.
 Overlapping halo windows are not expressible as standard (aligned,
-disjoint) BlockSpec blocks, and manual HBM->VMEM DMAs require
-128-lane-aligned slices, so the inputs are staged through an "exploded"
-layout: edge-replicated pad + static slice/concat lays each tile's
-(TX+2HX, TY+2HY) window out contiguously (edge replication == the XLA
-path's edge-replicated shifts; out-of-range values are masked by the
-reference's idXl/idXr/idYu/idYd neighbor flags).  The kernel then runs a
-standard auto-pipelined BlockSpec grid, computes everything redundantly
-on the halo, and writes back only the (TX, TY) center.  Alignment forces
-HY = 64 >= 3K (so temporal blocking in Y is free up to K=21) and
-HX = 3K rounded up to a multiple of 4.  The explosion costs one extra
-HBM round trip of the ~33-plane carry per K iterations.
+disjoint) BlockSpec blocks, so the window halos are staged one of two
+ways (edge replication at the grid boundary == the XLA path's
+edge-replicated shifts; out-of-range values are masked by the
+reference's idXl/idXr/idYu/idYd neighbor flags):
+
+* persistent/strip staging (default): the carry stays COMPACT; per
+  K-block XLA slices each tile's 2·HX halo rows and 2·HY halo columns
+  into two small strip arrays, and the kernel assembles the (TX+2HX,
+  TY+2HY) window in VMEM from [x-strip | y-strip|center|y-strip |
+  x-strip], writing the center back in place (input/output aliased).
+* exploded staging (HF2D_PERSIST=0): edge-replicated pad + static
+  slice/concat lays every window out contiguously up front — one extra
+  full HBM round trip of the ~33-plane carry per K-block (~2.8x the
+  carry bytes vs the strips' ~(2HX/TX + 2HY/TY) fraction), which is
+  what made small-K / low-redundancy windows unaffordable before.
+
+The kernel then runs a standard auto-pipelined BlockSpec grid, computes
+everything redundantly on the halo, and writes back only the (TX, TY)
+center.  Alignment forces HY = 64 >= 3K when Y is tiled (so temporal
+blocking in Y is free up to K=21) and HX = 3K rounded up to a multiple
+of 4.
 
 dt semantics on this path: the global dt reduction is evaluated at scan
 level from the carried primitives and FROZEN across the K fused
@@ -43,6 +53,7 @@ reductions.
 from __future__ import annotations
 
 import os
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -74,8 +85,11 @@ def _default_vmem(vmem_limit_bytes):
 
 def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                tile, K, vmem_limit_bytes, interior_x=None,
-               red_sum=None, red_max=None, red_min=None, k_loop=None):
-    """Build (make_block, aux_at, scan_dt, explode) for the fused kernel.
+               red_sum=None, red_max=None, red_min=None, k_loop=None,
+               persistent=False):
+    """Build the fused-kernel machinery; returns a namespace with
+    ``make_block`` / ``aux_at`` / ``scan_dt`` / ``explode`` / ``crop`` /
+    ``refresh``.
 
     ``meta`` may be a traced value (the multi-chip path calls
     this inside shard_map on the halo-extended local block).  The
@@ -87,6 +101,20 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     redundantly on every shard and must not be double-reduced).
     ``red_sum/red_max/red_min``: reduction hooks applied after the local
     reduction (identity on one device; psum/pmax/pmin across a mesh).
+    ``persistent``: strip-staged halo windows.  The slim carry stays in
+    the COMPACT (Xp, Yp) layout across K-blocks (input/output aliased
+    through the kernel), and instead of re-staging full overlapping
+    (WX, WY) windows through the exploded layout every block, only the
+    halo RINGS are staged: per block, XLA slices 2·HX halo rows and
+    2·HY halo columns per tile out of the carry into two small strip
+    arrays (disjoint, alignment-friendly blocks), and the kernel
+    assembles each tile's window in VMEM from [x-strip | center+y-strips
+    | x-strip].  This removes the full compact->exploded HBM round trip
+    of the ~33-plane carry per K-block (explode traffic ~2.8x the carry
+    size; strips are ~(2HX/TX + 2HY/TY) of it), which is what made
+    small K / large-window low-redundancy tiles unaffordable.
+    ``make_block`` then takes/returns a SlimState with (Xp, Yp) planes;
+    pad/slice at the chunk boundaries (see make_pallas_chunk).
     """
     p = params
     ident = lambda x: x     # noqa: E731
@@ -136,6 +164,44 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     # static inputs exploded once (per chunk call when meta is traced)
     meta_ex = {f: explode(getattr(meta, f)) for f in META_BIG}
     p_blk = SolverParams(**{**p.__dict__, "MaxX": WX, "MaxY": WY})
+    EX, EY = nbx * WX, nby * WY
+
+    def crop(a):
+        """Padded carry layout (…, Xp, Yp) -> (…, X, Y)."""
+        return a[..., :X, :Y]
+
+    def _lead_pad(a):
+        return [(0, 0)] * (a.ndim - 2)
+
+    def build_xstrips(c):
+        """(…, Xp, Yp) carry -> (…, nbx*2HX, EY) halo-ROW strips.
+
+        Tile i's window rows [0, HX) and [HX+TX, WX) in window-column
+        layout, sourced from the clamped global rows (edge replication at
+        the grid boundary == explode()'s jnp.pad mode="edge"), then
+        Y-exploded into the same overlapping window columns the kernel
+        windows use.  Values beyond the real (X, Y) extent replicate the
+        last real row/col exactly like explode() did, so the assembled
+        windows are bitwise-identical to the exploded staging everywhere
+        a real node can read."""
+        cp = jnp.pad(c[..., :X, :Y],
+                     _lead_pad(c) + [(HX, Xp - X + HX), (HY, Yp - Y + HY)],
+                     mode="edge")
+        rows = jnp.concatenate(
+            [cp[..., i * TX + off:i * TX + off + HX, :]
+             for i in range(nbx) for off in (0, TX + HX)], axis=-2)
+        return jnp.concatenate([rows[..., :, j * TY:j * TY + WY]
+                                for j in range(nby)], axis=-1)
+
+    def build_ystrips(c):
+        """(…, Xp, Yp) carry -> (…, Xp, nby*2HY) halo-COLUMN strips
+        (tile j's window cols [0, HY) and [HY+TY, WY), center rows)."""
+        cp = jnp.pad(c[..., :, :Y],
+                     _lead_pad(c) + [(0, 0), (HY, Yp - Y + HY)],
+                     mode="edge")
+        return jnp.concatenate(
+            [cp[..., :, j * TY + off:j * TY + off + HY]
+             for j in range(nby) for off in (0, TY + HY)], axis=-1)
 
     def aux_at(it):
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
@@ -144,21 +210,26 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     # SetSources2D objects; otherwise a literal zero inside the kernel
     # body lets Mosaic fold the Src*dt term (and saves the input DMA)
     has_src = p.has_ext_src
-    n_in = len(SLIM_BIG) + len(META_BIG) + (1 if has_src else 0)
+    nS = len(SLIM_BIG)
+    # persistent staging: per slim leaf the kernel gets [center block,
+    # x-strip block, y-strip block] instead of one pre-exploded window
+    n_stage = nS * ((3 if HY else 2) if persistent else 1)
+    n_in = n_stage + len(META_BIG) + (1 if has_src else 0)
 
     def make_fused(KK):
         """pallas_call running KK fused iterations per invocation."""
 
         def kernel(scal_ref, *refs):
-            slim_refs = refs[:len(SLIM_BIG)]
-            meta_refs = refs[len(SLIM_BIG):len(SLIM_BIG) + len(META_BIG)]
-            src_ref = (refs[len(SLIM_BIG) + len(META_BIG)] if has_src
+            slim_refs = refs[:nS]
+            xs_refs = refs[nS:2 * nS] if persistent else None
+            ys_refs = refs[2 * nS:3 * nS] if (persistent and HY) else None
+            meta_refs = refs[n_stage:n_stage + len(META_BIG)]
+            src_ref = (refs[n_stage + len(META_BIG)] if has_src
                        else None)
             chem_refs = refs[n_in:n_in + len(CHEM_FIELDS)]
             k0 = n_in + len(CHEM_FIELDS)
-            out_refs = refs[k0:k0 + len(SLIM_BIG)]
-            pr_num, pr_den, pr_max, pr_uns = refs[k0 + len(SLIM_BIG):
-                                                  k0 + len(SLIM_BIG) + 4]
+            out_refs = refs[k0:k0 + nS]
+            pr_num, pr_den, pr_max, pr_uns = refs[k0 + nS:k0 + nS + 4]
 
             ti = pl.program_id(0)
             tj = pl.program_id(1)
@@ -263,7 +334,25 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                     + jnp.sum(uns.astype(jnp.int32)[None], axis=-2))
                 return tuple(getattr(slim, f) for f in SLIM_BIG)
 
-            carry = tuple(slim_refs[k][...] for k in range(len(SLIM_BIG)))
+            if persistent:
+                # assemble each window in VMEM: [x-strip ; y-strip |
+                # center | y-strip ; x-strip] — the strips carry the
+                # overlapping halo ring the disjoint center blocks can't
+                def assemble(k):
+                    c = slim_refs[k][...]
+                    if HY:
+                        ysr = ys_refs[k][...]
+                        c = jnp.concatenate(
+                            [ysr[..., :, 0:HY], c, ysr[..., :, HY:2 * HY]],
+                            axis=-1)
+                    xsr = xs_refs[k][...]
+                    return jnp.concatenate(
+                        [xsr[..., 0:HX, :], c, xsr[..., HX:2 * HX, :]],
+                        axis=-2)
+
+                carry = tuple(assemble(k) for k in range(nS))
+            else:
+                carry = tuple(slim_refs[k][...] for k in range(nS))
             if k_loop and KK > 1:
                 # rolled K-loop: one compiled body regardless of KK — caps
                 # both VMEM liveness and Mosaic compile time, enabling
@@ -297,25 +386,32 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             return pl.BlockSpec((WX, WY), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
 
+        def strip_spec_for(f, bx, by):
+            lead = lead_of(f)
+            if lead:
+                return pl.BlockSpec(lead + (bx, by), lambda i, j: (0, i, j),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((bx, by), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+
+        if persistent:
+            slim_in = ([strip_spec_for(f, TX, TY) for f in SLIM_BIG]
+                       + [strip_spec_for(f, 2 * HX, WY) for f in SLIM_BIG]
+                       + ([strip_spec_for(f, TX, 2 * HY)
+                           for f in SLIM_BIG] if HY else []))
+        else:
+            slim_in = [in_spec_for(f, "slim") for f in SLIM_BIG]
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                    + [in_spec_for(f, "slim") for f in SLIM_BIG]
+                    + slim_in
                     + [in_spec_for(f, "meta") for f in META_BIG]
                     + ([in_spec_for(None, "src")] if has_src else [])
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)
                        for _ in CHEM_FIELDS])
 
-        def out_spec_for(f):
-            lead = lead_of(f)
-            if lead:
-                return pl.BlockSpec(lead + (TX, TY), lambda i, j: (0, i, j),
-                                    memory_space=pltpu.VMEM)
-            return pl.BlockSpec((TX, TY), lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)
-
         # whole-array accumulator blocks (constant index_map => the block
         # persists across the sequential TPU grid; each program accumulates
         # its center partials into the per-inner-iteration rows)
-        out_specs = ([out_spec_for(f) for f in SLIM_BIG]
+        out_specs = ([strip_spec_for(f, TX, TY) for f in SLIM_BIG]
                      + [pl.BlockSpec((9, KK, TY), lambda i, j: (0, 0, 0),
                                      memory_space=pltpu.VMEM)] * 3
                      + [pl.BlockSpec((KK, TY), lambda i, j: (0, 0),
@@ -326,18 +422,31 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                       + [jax.ShapeDtypeStruct((9, KK, TY), dtype)] * 3
                       + [jax.ShapeDtypeStruct((KK, TY), jnp.int32)])
 
+        # persistent: center block (i,j) is read and written by the SAME
+        # grid step only (the overlapping halo ring comes from the strip
+        # arrays, not this buffer) -> in-place aliasing is hazard-free and
+        # keeps the carry single-buffered in HBM
+        aliases = {1 + k: k for k in range(nS)} if persistent else {}
+
         return pl.pallas_call(
             kernel,
             grid=(nbx, nby),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
+            input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_bytes),
             interpret=(jax.default_backend() == "cpu"))
 
     fused_cache = {}
     _, _, _, active_m = node_masks(meta)
+    if persistent:
+        # the persistent carry is (Xp, Yp): pad lanes beyond (X, Y) evolve
+        # unmasked garbage and must not reach the dt min
+        dt_mask = jnp.pad(active_m, ((0, Xp - X), (0, Yp - Y)))
+    else:
+        dt_mask = active_m
 
     def scan_dt(slim, cfl_scen):
         """Global dt reduction from the carried primitives
@@ -348,7 +457,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         dtn = cfl_min * jnp.minimum(p.dx / (aaa + jnp.abs(slim.U)),
                                     p.dy / (aaa + jnp.abs(slim.V)))
         dt_new = red_min(
-            jnp.minimum(1.0, jnp.min(jnp.where(active_m, dtn, 1.0))))
+            jnp.minimum(1.0, jnp.min(jnp.where(dt_mask, dtn, 1.0))))
         if p.serial_dt_mode:
             dt_new = jnp.minimum(dt_new, slim.dt)
         return dt_new.astype(dtype)
@@ -361,7 +470,10 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         def block(slim, kbase, src_ex):
             """Run iterations kbase .. kbase+KK-1 (gfc stage) paired with
             pass12 at kbase+1 .. kbase+KK; dt frozen at block entry.
-            ``src_ex`` is the pre-exploded volumetric source field."""
+            ``src_ex`` is the pre-exploded volumetric source field.
+            Persistent mode: ``slim``'s planes are (Xp, Yp); only the halo
+            ring is staged (x/y strip arrays), the kernel assembles the
+            windows in VMEM and writes the centers back in place."""
             aux0 = aux_at(kbase)
             dt_k = scan_dt(slim, aux0.cfl_scen)
             scal = [dt_k.astype(jnp.float32)]
@@ -375,13 +487,24 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                          aux_p.cfl_scen.astype(jnp.float32),
                          aux_p.is_mu_t_iter.astype(jnp.float32)]
             scal = jnp.stack(scal)
-            ins = ([explode(getattr(slim, f)) for f in SLIM_BIG]
+            if persistent:
+                centers = [getattr(slim, f) for f in SLIM_BIG]
+                slim_ins = (centers
+                            + [build_xstrips(a) for a in centers]
+                            + ([build_ystrips(a) for a in centers]
+                               if HY else []))
+            else:
+                slim_ins = [explode(getattr(slim, f)) for f in SLIM_BIG]
+            ins = (slim_ins
                    + [meta_ex[f] for f in META_BIG]
                    + ([src_ex] if has_src else [])
                    + [getattr(chem, f) for f in CHEM_FIELDS])
             outs = fused(scal, *ins)
-            new_leaves = [a[..., :X, :Y] for a in outs[:len(SLIM_BIG)]]
-            num, den, ddm, uns = outs[len(SLIM_BIG):]
+            if persistent:
+                new_leaves = list(outs[:nS])     # stay (Xp, Yp)
+            else:
+                new_leaves = [a[..., :X, :Y] for a in outs[:nS]]
+            num, den, ddm, uns = outs[nS:]
             slim2 = SlimState(**dict(zip(SLIM_BIG, new_leaves)), dt=dt_k)
             nsum = red_sum(num.sum(-1))             # (9, KK)
             dsum = red_sum(den.sum(-1))
@@ -400,13 +523,15 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
 
         return block
 
-    return make_block, aux_at, scan_dt, explode
+    return SimpleNamespace(make_block=make_block, aux_at=aux_at,
+                           scan_dt=scan_dt, explode=explode, crop=crop,
+                           pad_xy=(Xp - X, Yp - Y))
 
 
 def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                       chem: ChemTables, beta_tab, cfl_tab, turb_start,
                       tile=(64, 128), fuse_iters: int = 1,
-                      vmem_limit_bytes=None):
+                      vmem_limit_bytes=None, persistent=None):
     """Build chunk(state, n_iters, start_iter, src_ext) running the fused
     kernel.
 
@@ -430,23 +555,36 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
     p = params
     K = int(fuse_iters)
     vmem = _default_vmem(vmem_limit_bytes)
+    if persistent is None:
+        persistent = os.environ.get("HF2D_PERSIST", "1") == "1"
 
     def chunk(state: SolverState, n_iters: int, start_iter, src_ext,
               meta_arg: GridMeta = None):
         mt = meta if meta_arg is None else meta_arg
-        make_block, aux_at, _, explode = _machinery(
-            mt, p, chem, beta_tab, cfl_tab, turb_start, tile, K, vmem)
-        block_k = make_block(K)
+        M = _machinery(mt, p, chem, beta_tab, cfl_tab, turb_start, tile,
+                       K, vmem, persistent=persistent)
+        block_k = M.make_block(K)
         ctx_g = build_static_ctx(mt, p)
         if not p.has_ext_src:
             src_ext = jnp.zeros((9, p.MaxX, p.MaxY), p.jdtype)
             src_ex = None
         else:
-            src_ex = explode(src_ext)
-        aux0 = aux_at(start_iter)
+            src_ex = M.explode(src_ext)
+        aux0 = M.aux_at(start_iter)
         S_c, beta_c, _, _, diag0 = pass12(state, mt, p, aux0, ctx=ctx_g)
         slim = shrink(SolverState(**{**state.__dict__, "S": S_c,
                                      "beta": beta_c}))
+        if persistent:
+            # pad the carry to the (Xp, Yp) block multiple once per CHUNK;
+            # pad lanes are never read (strips clamp to the real extent)
+            pxx, pyy = M.pad_xy
+
+            def pad_blk(a):
+                return jnp.pad(a, [(0, 0)] * (a.ndim - 2)
+                               + [(0, pxx), (0, pyy)])
+
+            slim = SlimState(**{f: pad_blk(getattr(slim, f))
+                                for f in SLIM_BIG}, dt=slim.dt)
         nb, rem = divmod(n_iters - 1, K)
         diags = None
         if nb:
@@ -457,13 +595,16 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
             diags = jax.tree.map(
                 lambda a: a.reshape((nb * K,) + a.shape[2:]), diags)
         if rem:
-            slim, d2 = make_block(rem)(slim, start_iter + nb * K, src_ex)
+            slim, d2 = M.make_block(rem)(slim, start_iter + nb * K, src_ex)
             diags = (d2 if diags is None else
                      jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
                                   diags, d2))
+        if persistent:
+            slim = SlimState(**{f: M.crop(getattr(slim, f))
+                                for f in SLIM_BIG}, dt=slim.dt)
         full = expand(slim, p, src_ext)
         out, dt_new, unstable_last = gfc(full, mt, p, chem,
-                                         aux_at(start_iter + n_iters - 1),
+                                         M.aux_at(start_iter + n_iters - 1),
                                          ctx=ctx_g)
         out = SolverState(**{**out.__dict__, "dt": dt_new})
 

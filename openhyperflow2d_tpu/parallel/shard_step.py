@@ -58,7 +58,13 @@ def _pad_x(a, px):
 
 
 def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
-                     beta_tab, cfl_tab, turb_start, mesh: Mesh):
+                     beta_tab, cfl_tab, turb_start, mesh: Mesh,
+                     halo_ablate: bool = False):
+    """``halo_ablate``: replace every per-iteration halo ppermute with a
+    same-shaped LOCAL slice (results wrong at strip seams, timing valid)
+    — isolates the halo-exchange overhead %, BASELINE.md's third metric
+    (the reference can't measure this either; its Isend/Irecv overlap is
+    the same ablation done by hand, deeps2d_core.cpp:1336-1409)."""
     _require_uniform(params, "make_shard_chunk")
     p = params
     H = HALO
@@ -80,8 +86,11 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
 
     def ext(a, zero_edge=False):
         """Extend the local block with H halo columns from the neighbors."""
-        left = lax.ppermute(a[..., -H:, :], "x", fwd)    # from left nbr
-        right = lax.ppermute(a[..., :H, :], "x", bwd)    # from right nbr
+        if halo_ablate:
+            left, right = a[..., -H:, :], a[..., :H, :]
+        else:
+            left = lax.ppermute(a[..., -H:, :], "x", fwd)   # from left nbr
+            right = lax.ppermute(a[..., :H, :], "x", bwd)   # from right nbr
         if zero_edge:
             idx = lax.axis_index("x")
             left = jnp.where(idx == 0, jnp.zeros_like(left), left)
@@ -298,13 +307,14 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                    zero_edge=(f in ("CT", "TCT", "idXl", "idXr",
                                     "idYu", "idYd")))
             for f in META_FIELDS})
-        make_block, _, _, explode = _machinery(
+        M = _machinery(
             meta_ext, p_loc, chem, beta_tab, cfl_tab, turb_start,
             tile, K, vmem, interior_x=(H, H + X_loc),
             red_sum=lambda x: lax.psum(x, "x"),
             red_max=lambda x: lax.pmax(x, "x"),
             red_min=lambda x: lax.pmin(x, "x"))
-        src_ex = explode(ext(src_loc)) if p.has_ext_src else None
+        make_block = M.make_block
+        src_ex = M.explode(ext(src_loc)) if p.has_ext_src else None
 
         def make_body(KK):
             blk = make_block(KK)

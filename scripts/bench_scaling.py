@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 
-def run(n_devices, base, iters, dtype, path, cfl):
+def run(n_devices, base, iters, dtype, path, cfl, halo_ablate=False):
     from openhyperflow2d_tpu.examples import channel_deck
     from openhyperflow2d_tpu.parallel.mesh import make_mesh, shard_solver
     from openhyperflow2d_tpu.parallel.shard_step import make_shard_chunk
@@ -49,7 +49,8 @@ def run(n_devices, base, iters, dtype, path, cfl):
             solver.meta, solver.params, solver.chem,
             (solver.beta_xs, solver.beta_ys),
             (solver.cfl_xs, solver.cfl_ys),
-            solver.params.TurbStartIter, mesh),
+            solver.params.TurbStartIter, mesh,
+            halo_ablate=halo_ablate),
             static_argnums=(1,))
     elif n_devices > 1:
         solver = shard_solver(Solver(case), make_mesh(n_devices))
@@ -62,9 +63,21 @@ def run(n_devices, base, iters, dtype, path, cfl):
     d = solver.run_iters(iters)
     jax.block_until_ready(solver.state.S)
     dt = time.perf_counter() - t0
-    assert not np.asarray(d["unstable"]).any()
+    if not halo_ablate:
+        # ablated runs propagate wrong seam values by design; skip the check
+        assert not np.asarray(d["unstable"]).any()
     gcups = nx * ny * iters / dt / 1e9
     return gcups, dt
+
+
+def halo_bytes_per_iter(base, dtype):
+    """Analytic per-device halo traffic per iteration on the shard_map
+    path: 2 sides x H=3 columns x Y rows x 33 slim planes x itemsize
+    (parallel/shard_step.ext over every SlimState leaf)."""
+    from openhyperflow2d_tpu.core.step import _SLIM_FIELDS
+    planes = 9 + 9 + 4 + (len(_SLIM_FIELDS) - 3 - 1)   # S, beta, Yc, scalars
+    itemsize = np.dtype(dtype).itemsize
+    return 2 * 3 * base * planes * itemsize
 
 
 def main():
@@ -77,6 +90,11 @@ def main():
     ap.add_argument("--path", default="gspmd",
                     choices=["gspmd", "shard_map"])
     ap.add_argument("--cfl", type=float, default=0.05)
+    ap.add_argument("--halo-overhead", action="store_true",
+                    help="per device count, also time a halo-ablated "
+                    "shard_map run (ppermutes replaced by same-shaped "
+                    "local slices) and report halo_overhead_pct = "
+                    "(t_full - t_ablated) / t_full")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (the environment pins "
                     "JAX_PLATFORMS=axon via sitecustomize, so the env "
@@ -102,6 +120,17 @@ def main():
                       "gcups_per_chip": round(gcups / n, 6),
                       "weak_scaling_eff": round(eff, 3),
                       "wall_s": round(dt, 2)}
+        if args.halo_overhead and n > 1:
+            _, dt_abl = run(n, args.base, args.iters, args.dtype,
+                            "shard_map", args.cfl, halo_ablate=True)
+            if args.path != "shard_map":
+                # compare like with like: time the full shard_map too
+                _, dt = run(n, args.base, args.iters, args.dtype,
+                            "shard_map", args.cfl)
+            results[n]["halo_overhead_pct"] = round(
+                100.0 * max(0.0, dt - dt_abl) / dt, 2)
+            results[n]["halo_bytes_per_iter_per_dev"] = \
+                halo_bytes_per_iter(args.base, args.dtype)
         print(json.dumps({"devices": n, **results[n]}), flush=True)
         n *= 2
     print(json.dumps({"metric": "weak_scaling_eff",

@@ -111,6 +111,51 @@ def test_pallas_fused_close_on_reacting():
         assert rel.max() < 5e-3, (f, rel.max())
 
 
+def _pallas_solver(deck, tile, fuse, persistent):
+    import jax
+    from openhyperflow2d_tpu.ops.pallas_step import make_pallas_chunk
+    s = Solver(build_case(deck), use_pallas=True, pallas_tile=tile,
+               pallas_fuse=fuse)
+    s._chunk_fn = jax.jit(make_pallas_chunk(
+        s.meta, s.params, s.chem, (s.beta_xs, s.beta_ys),
+        (s.cfl_xs, s.cfl_ys), s.params.TurbStartIter, tile=tile,
+        fuse_iters=fuse, persistent=persistent), static_argnums=(1,))
+    return s
+
+
+def test_pallas_persistent_carry_bitwise_vs_classic():
+    """The persistent exploded-layout carry (halo-strip refresh between
+    K-blocks, ops/pallas_step._machinery(persistent=True)) must be
+    BIT-IDENTICAL to the classic explode-per-block path: the refresh
+    copies exactly the values a fresh explode would stage, and every
+    stale/pad lane it leaves behind is select-masked (idXl/idXr/idYu/idYd
+    = 0 at grid edges).  nx=50/ny=300 with a (16, 128) tile forces
+    nbx=4/nby=3 windows, X and Y pad remainders (64-50, 384-300), the
+    off-grid strip fixes, and fuse=3 over 8 iters hits the remainder
+    block (8-1 = 2*3 + 1)."""
+    mk = lambda: channel_deck(nx=50, ny=300, mach2_v=-80.0)  # noqa: E731
+    pers = _pallas_solver(mk(), (16, 128), 3, True)
+    clas = _pallas_solver(mk(), (16, 128), 3, False)
+    dp = pers.run_iters(8)
+    dc = clas.run_iters(8)
+    np.testing.assert_array_equal(np.asarray(dp["RMS"]),
+                                  np.asarray(dc["RMS"]))
+    np.testing.assert_array_equal(np.asarray(dp["dt_used"]),
+                                  np.asarray(dc["dt_used"]))
+    for f in ["S", "beta", "U", "V", "p", "Tg", "mu_t", "R", "CP"]:
+        a = np.asarray(getattr(clas.state, f))
+        b = np.asarray(getattr(pers.state, f))
+        np.testing.assert_array_equal(b, a, err_msg=f)
+    # sanity vs the XLA path (dt-lag envelope)
+    ref = Solver(build_case(mk()))
+    ref.run_iters(8)
+    for f in ["S", "U", "p", "Tg"]:
+        a = np.asarray(getattr(ref.state, f))
+        b = np.asarray(getattr(pers.state, f))
+        rel = np.abs(a - b) / (np.abs(a).max() + 1e-30)
+        assert rel.max() < 5e-3, (f, rel.max())
+
+
 def test_pallas_rms_excludes_tile_padding():
     """Grid sizes that don't divide the tile: the edge-replicated pad
     rows/cols must not contribute to the RMS reduction (they previously
