@@ -221,16 +221,27 @@ def freestream_deck(problem_type: int = 0, u: float = 500.0, v: float = 0.0,
 
 
 def reacting_rans_deck(nx: int, ny: int, turb_model: int = 4,
-                       turb_ext_model: int = 4, cfl: float = 0.25) -> Deck:
+                       turb_ext_model: int = 4, cfl: float = 0.25,
+                       wall_bottom: bool = False,
+                       adiabatic: bool = True) -> Deck:
     """Benchmark case: reacting (fuel stream + hot oxidizer coflow) RANS
-    channel, the headline perf config (BASELINE.md)."""
+    channel, the headline perf config (BASELINE.md).
+
+    ``wall_bottom=True, adiabatic=False`` is the walls-on bench variant:
+    a no-slip bottom wall with conjugate heat flux — the full Wedge-class
+    physics (wall law/no-slip + CalcHeatOnWallSources + sigma weighting,
+    hyper_flow_node.hpp:447-488, deeps2d_core.cpp:2679-2833) at
+    benchmark scale."""
     d = channel_deck(nx=nx, ny=ny, u=600.0, v=0.0, problem_type=1,
                      turb_model=turb_model, turb_ext_model=turb_ext_model,
-                     cfl=cfl, beta=0.95, nmax=100)
+                     cfl=cfl, beta=0.95, nmax=100,
+                     wall_bottom=wall_bottom)
     # fuel-rich hot top stream ignites against oxidizer interior
     d.data["Flow2D-2.CompIndex"] = "0"   # fuel
     d.data["Flow2D-2.T"] = "1400."
     d.data["Flow2D-1.CompIndex"] = "1"   # oxidizer
+    if not adiabatic:
+        d.data["isAdiabaticWall"] = "0"
     return d
 
 

@@ -467,15 +467,20 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             fused_cache[KK] = make_fused(KK)
         fused = fused_cache[KK]
 
-        def block(slim, kbase, src_ex):
+        def block(slim, kbase, src_ex, dt_in=None, raw_diag=False):
             """Run iterations kbase .. kbase+KK-1 (gfc stage) paired with
             pass12 at kbase+1 .. kbase+KK; dt frozen at block entry.
             ``src_ex`` is the pre-exploded volumetric source field.
             Persistent mode: ``slim``'s planes are (Xp, Yp); only the halo
             ring is staged (x/y strip arrays), the kernel assembles the
-            windows in VMEM and writes the centers back in place."""
+            windows in VMEM and writes the centers back in place.
+            ``dt_in``: use this frozen dt instead of reducing one here
+            (callers that split a block across sub-kernels must share one).
+            ``raw_diag``: return the local partial reductions (num/den/
+            ddm/uns, pre-hook, no RMS formula) so such callers can combine
+            partials across sub-kernels before the global reduction."""
             aux0 = aux_at(kbase)
-            dt_k = scan_dt(slim, aux0.cfl_scen)
+            dt_k = scan_dt(slim, aux0.cfl_scen) if dt_in is None else dt_in
             scal = [dt_k.astype(jnp.float32)]
             for i in range(KK):
                 aux_g = aux_at(kbase + i)
@@ -506,6 +511,9 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                 new_leaves = [a[..., :X, :Y] for a in outs[:nS]]
             num, den, ddm, uns = outs[nS:]
             slim2 = SlimState(**dict(zip(SLIM_BIG, new_leaves)), dt=dt_k)
+            if raw_diag:
+                return slim2, {"num": num.sum(-1), "den": den.sum(-1),
+                               "ddm": ddm.max(-1), "uns": uns.sum(-1)}
             nsum = red_sum(num.sum(-1))             # (9, KK)
             dsum = red_sum(den.sum(-1))
             if p.isAlternateRMS:

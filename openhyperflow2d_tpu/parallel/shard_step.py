@@ -244,7 +244,7 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                             chem: ChemTables, beta_tab, cfl_tab,
                             turb_start, mesh: Mesh,
                             tile=(64, 128), fuse_iters: int = 4,
-                            vmem_limit_bytes=None):
+                            vmem_limit_bytes=None, overlap: bool = False):
     """Multi-chip fused-Pallas inner loop: X-strip decomposition where
     every shard runs the fused kernel (ops/pallas_step) on its
     halo-extended local block.
@@ -259,6 +259,18 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
     is double-counted.  Global-boundary halos reuse the zero-CT trick of
     ``make_shard_chunk``: the wrap columns are never read (the boundary
     nodes' own idXl/idXr flags collapse the stencil) and never computed on.
+
+    ``overlap=True`` restructures each K-block into the reference's
+    Isend/Irecv -> work -> Wait pattern (deeps2d_core.cpp:1336-1409):
+    the two 3K-wide EDGE strips are advanced first through the plain XLA
+    stage functions (the same gfc/pass12 code the kernel fuses — cheap at
+    strip width), their fresh boundary columns feed the lax.ppermute
+    immediately, and the interior Pallas kernel runs while the collective
+    is in flight (XLA's async collective-permute scheduler hides it).
+    Costs ~2·3K columns of XLA-path compute per block in exchange for
+    fully hidden halo latency; numerics are identical to reduction-order
+    associativity (the RMS/DD partials are combined edge+interior before
+    the same psum).
     """
     from ..core.static_ctx import build_static_ctx as _bsc
     from ..ops.pallas_step import _default_vmem, _machinery
@@ -276,6 +288,12 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
     dtype = p.jdtype
     vmem = _default_vmem(vmem_limit_bytes)
 
+    if overlap and X_loc < 2 * H:
+        raise ValueError(
+            f"overlap=True needs a local strip of at least 2*3K columns "
+            f"(X_loc={X_loc} < {2 * H}): the two fresh 3K-wide edges must "
+            f"not overlap; use more columns per shard or a smaller "
+            f"fuse_iters")
     meta_pad = GridMeta(**{f: _pad_x(getattr(meta, f), px)
                            for f in META_FIELDS})
     p_loc = SolverParams(**{**p.__dict__, "MaxX": Xext})
@@ -346,6 +364,180 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                                   diags, d2))
         return tuple(getattr(slim, f) for f in _SLIM_FIELDS), diags
 
+    def sharded_inner_overlap(meta_leaves, src_loc, slim_leaves, start_iter,
+                              n_iters):
+        """Isend/Irecv -> work -> Wait variant: XLA edge strips first,
+        ppermute their fresh boundary columns, interior kernel underneath
+        (see the ``overlap`` paragraph in the factory docstring)."""
+        meta_loc = GridMeta(**dict(zip(META_FIELDS, meta_leaves)))
+        slim0 = SlimState(**dict(zip(_SLIM_FIELDS, slim_leaves)))
+        meta_ext = GridMeta(**{
+            f: ext(getattr(meta_loc, f),
+                   zero_edge=(f in ("CT", "TCT", "idXl", "idXr",
+                                    "idYu", "idYd")))
+            for f in META_FIELDS})
+        H3 = 3 * H   # edge-strip width: outputs [H, 2H) stay clean of the
+        #              strip's replicated far edge after K iterations
+
+        def eL(a):
+            return a[..., :H3, :]
+
+        def eR(a):
+            return a[..., -H3:, :]
+
+        def mid(a):
+            return a[..., H:H + X_loc, :]
+
+        meta_eL = GridMeta(**{f: eL(getattr(meta_ext, f))
+                              for f in META_FIELDS})
+        meta_eR = GridMeta(**{f: eR(getattr(meta_ext, f))
+                              for f in META_FIELDS})
+        meta_int = GridMeta(**{f: mid(getattr(meta_ext, f))
+                               for f in META_FIELDS})
+        p_edge = SolverParams(**{**p.__dict__, "MaxX": H3})
+        p_int = SolverParams(**{**p.__dict__, "MaxX": X_loc})
+        ctx_eL = _bsc(meta_eL, p_edge)
+        ctx_eR = _bsc(meta_eR, p_edge)
+        M_int = _machinery(meta_int, p_int, chem, beta_tab, cfl_tab,
+                           turb_start, tile, K, vmem,
+                           interior_x=(H, X_loc - H),
+                           red_min=lambda x: lax.pmin(x, "x"))
+        src_ext_loc = ext(src_loc)
+        src_int_ex = (M_int.explode(mid(src_ext_loc)) if p.has_ext_src
+                      else None)
+        src_eL, src_eR = eL(src_ext_loc), eR(src_ext_loc)
+
+        def f32r(v):
+            # the kernel ingests its per-block scalars (dt, scenario
+            # values) through float32 SMEM (ops/pallas_step scal packing);
+            # the edge strips must see the SAME rounded values or f64 runs
+            # drift at the 1e-7 level
+            return jnp.asarray(v).astype(jnp.float32).astype(dtype)
+
+        def edge_block(KK, sl, meta_e, ctx_e, src_e, kbase, dt_k):
+            """KK rotated iterations of the XLA stage functions on one
+            3K-wide strip; returns (carry, raw partials over the H fresh
+            boundary columns [H, 2H)) — the same per-iteration math the
+            kernel accumulates (ops/pallas_step iter_body)."""
+            carry = SlimState(**{f: getattr(sl, f) for f in SLIM_BIG},
+                              dt=f32r(dt_k))
+            csl = slice(H, 2 * H)
+            nums, dens, ddms, unss = [], [], [], []
+            for i in range(KK):
+                ag, ap = aux_at(kbase + i), aux_at(kbase + i + 1)
+                aux_g = StepAux(beta_scen=f32r(ag.beta_scen),
+                                cfl_scen=f32r(ag.cfl_scen),
+                                is_mu_t_iter=ag.is_mu_t_iter)
+                aux_p = StepAux(beta_scen=f32r(ap.beta_scen),
+                                cfl_scen=f32r(ap.cfl_scen),
+                                is_mu_t_iter=ap.is_mu_t_iter)
+                full = expand(carry, p_edge, src_e)
+                out, _, uns_f = gfc(full, meta_e, p_edge, chem, aux_g,
+                                    j0=0, return_fields=True, ctx=ctx_e)
+                out = SolverState(**{**out.__dict__, "dt": f32r(dt_k)})
+                S_c, beta_c, _, _, fields = pass12(out, meta_e, p_edge,
+                                                   aux_p, j0=0,
+                                                   return_fields=True,
+                                                   ctx=ctx_e)
+                carry = SlimState(
+                    **{f: getattr(out, f) for f in SLIM_BIG
+                       if f not in ("S", "beta")},
+                    S=S_c, beta=beta_c, dt=f32r(dt_k))
+                g = fields["gate"][:, csl, :]
+                ad = fields["abs_dd"][:, csl, :]
+                tm = fields["tmp"][:, csl, :]
+                dl = fields["dd_local"][:, csl, :]
+                if p.isAlternateRMS:
+                    acc = ad if p.serial_rms_mode else ad * ad
+                    nums.append(jnp.sum(jnp.where(g, acc, 0.0), (-2, -1)))
+                    dens.append(jnp.sum(jnp.where(g, tm * tm, 0.0),
+                                        (-2, -1)))
+                else:
+                    nums.append(jnp.sum(jnp.where(g, dl * dl, 0.0),
+                                        (-2, -1)))
+                    dens.append(jnp.sum(g, (-2, -1)).astype(dtype))
+                ddms.append(jnp.max(jnp.where(g, dl, 0.0), (-2, -1)))
+                unss.append(jnp.sum(uns_f[csl, :].astype(jnp.int32)))
+            return carry, {"num": jnp.stack(nums, -1),
+                           "den": jnp.stack(dens, -1),
+                           "ddm": jnp.stack(ddms, -1),
+                           "uns": jnp.stack(unss, -1)}
+
+        def make_body(KK):
+            blk_int = M_int.make_block(KK)
+
+            def body(slim_c, kbase):
+                aux0 = aux_at(kbase)
+                slim_mid = SlimState(**{f: mid(getattr(slim_c, f))
+                                        for f in SLIM_BIG}, dt=slim_c.dt)
+                # one shared frozen dt for edges + interior (each local
+                # node counted once per shard; pmin across the mesh)
+                dt_k = M_int.scan_dt(slim_mid, aux0.cfl_scen)
+                sL, rL = edge_block(
+                    KK, SlimState(**{f: eL(getattr(slim_c, f))
+                                     for f in SLIM_BIG}, dt=dt_k),
+                    meta_eL, ctx_eL, src_eL, kbase, dt_k)
+                sR, rR = edge_block(
+                    KK, SlimState(**{f: eR(getattr(slim_c, f))
+                                     for f in SLIM_BIG}, dt=dt_k),
+                    meta_eR, ctx_eR, src_eR, kbase, dt_k)
+                new_l = {f: getattr(sL, f)[..., H:2 * H, :]
+                         for f in SLIM_BIG}
+                new_r = {f: getattr(sR, f)[..., H:2 * H, :]
+                         for f in SLIM_BIG}
+                # "Isend/Irecv": the fresh edges travel over ICI while the
+                # interior kernel computes below (async collective permute)
+                recv_l = {f: lax.ppermute(new_r[f], "x", fwd)
+                          for f in SLIM_BIG}
+                recv_r = {f: lax.ppermute(new_l[f], "x", bwd)
+                          for f in SLIM_BIG}
+                sI, rI = blk_int(slim_mid, kbase, src_int_ex, dt_in=dt_k,
+                                 raw_diag=True)
+                # "Wait": reassemble the extended block for the next one
+                new_ext = {
+                    f: jnp.concatenate(
+                        [recv_l[f], new_l[f],
+                         getattr(sI, f)[..., H:X_loc - H, :],
+                         new_r[f], recv_r[f]], axis=-2)
+                    for f in SLIM_BIG}
+                num = lax.psum(rL["num"] + rI["num"] + rR["num"], "x")
+                den = lax.psum(rL["den"] + rI["den"] + rR["den"], "x")
+                if p.isAlternateRMS:
+                    fb = 0.0 if p.serial_rms_mode else num
+                    rms = jnp.where((num > 0) & (den > 0),
+                                    jnp.sqrt(_safe_div(num, den)), fb)
+                else:
+                    rms = jnp.where(den > 0,
+                                    jnp.sqrt(_safe_div(num, den)), num)
+                ddm = lax.pmax(
+                    jnp.maximum(jnp.maximum(rL["ddm"], rI["ddm"]),
+                                rR["ddm"]), "x")
+                uns = lax.psum(rL["uns"] + rI["uns"] + rR["uns"], "x")
+                diag = {"RMS": rms.T, "DD_max": ddm.T,
+                        "dt_used": jnp.broadcast_to(dt_k, (KK,)),
+                        "unstable": uns > 0}
+                return SlimState(**new_ext, dt=dt_k), diag
+
+            return body
+
+        slim_c = SlimState(**{f: ext(getattr(slim0, f))
+                              for f in SLIM_BIG}, dt=slim0.dt)
+        nb, rem = divmod(n_iters - 1, K)
+        diags = None
+        if nb:
+            ks = start_iter + K * jnp.arange(nb)
+            slim_c, diags = lax.scan(make_body(K), slim_c, ks)
+            diags = jax.tree.map(
+                lambda a: a.reshape((nb * K,) + a.shape[2:]), diags)
+        if rem:
+            slim_c, d2 = make_body(rem)(slim_c, start_iter + nb * K)
+            diags = (d2 if diags is None else
+                     jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
+                                  diags, d2))
+        slim_f = SlimState(**{f: crop(getattr(slim_c, f))
+                              for f in SLIM_BIG}, dt=slim_c.dt)
+        return tuple(getattr(slim_f, f) for f in _SLIM_FIELDS), diags
+
     spec_x = P(None, "x", None)
     spec_x2 = P("x", None)
     slim_ranks = {"S": 3, "beta": 3, "Yc": 3}
@@ -379,7 +571,8 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                                 for f in SLIM_BIG}, dt=slim.dt)
         if n_iters > 1:
             inner = shard_map(
-                partial(sharded_inner, n_iters=n_iters),
+                partial(sharded_inner_overlap if overlap
+                        else sharded_inner, n_iters=n_iters),
                 mesh=mesh,
                 in_specs=(tuple(spec_for(a) for a in meta_leaves),
                           spec_x,
