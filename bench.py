@@ -36,7 +36,12 @@ def main():
     from openhyperflow2d_tpu.solver.runner import Solver
 
     n_chips = len(jax.devices())
-    deck = reacting_rans_deck(size, size)
+    # BENCH_WALLS=1: the walls-on variant — no-slip bottom wall with
+    # conjugate heat (the Wedge-class physics: wall law/no-slip + sigma
+    # weighting + CalcHeatOnWallSources) at benchmark scale
+    walls = os.environ.get("BENCH_WALLS", "0") == "1"
+    deck = reacting_rans_deck(size, size, wall_bottom=walls,
+                              adiabatic=not walls, with_step=walls)
     case = build_case(deck, dtype=dtype)
     if os.environ.get("BENCH_FASTMATH", "1") == "1":
         import dataclasses
@@ -56,8 +61,9 @@ def main():
     gcups = size * size * steps_per_sec / 1e9 / max(n_chips, 1)
 
     path = "pallas" if use_pallas else "xla"
+    case_name = "reacting RANS" + (" walled+heat" if walls else "")
     result = {
-        "metric": f"GCUPS/chip ({size}x{size} reacting RANS, {dtype}, "
+        "metric": f"GCUPS/chip ({size}x{size} {case_name}, {dtype}, "
                   f"{path}, {n_chips} chip)",
         "value": round(gcups, 4),
         "unit": "Gcell-updates/s/chip",

@@ -74,18 +74,96 @@ def channel_deck(nx: int = 64, ny: int = 64, u: float = 500.0,
                  mach2_v: float = None, cfl: float = 0.5,
                  beta: float = 0.98, bff: int = 4, nmax: int = 100,
                  with_rect: bool = False,
-                 wall_bottom: bool = False) -> Deck:
+                 wall_bottom: bool = False,
+                 step_bottom: bool = False) -> Deck:
     """A supersonic channel: inflow at x=0 and (optionally deflected) top
     stream, D0X outflow, D0Y bottom — the ObliqueShock topology at an
     arbitrary size.  Optionally drops a solid rectangle into the stream
     (duct-narrowing / bluff-body benchmark config); ``wall_bottom`` turns
     the bottom boundary into a no-slip wall (flat-plate configuration for
-    the Stanton-correlation validation, out_cfd_param.cpp:536-547)."""
+    the Stanton-correlation validation, out_cfd_param.cpp:536-547);
+    ``step_bottom`` carves a forward-facing solid step out of the contour
+    the way Wedge.dat carves its wedge (wall bounds with
+    TCT_eps_Cmk2kXn_WALL + a Type=0 solid Area fill) — the walls+solid
+    +conjugate-heat configuration that k-eps supports (a bare
+    SolidBoundRect2D sets TCT_eps_mud2kdy2_WALL, which TurbModRANS2D
+    never reads — reference quirk, hyper_flow_node.hpp:765-779 — so eps
+    is unpinned at rect walls and diverges)."""
     dx = dy = 0.01
     lx, ly = nx * dx, ny * dy
     v2 = mach2_v if mach2_v is not None else v
-    bc_bottom = ("NT_WNS_2D" if wall_bottom
+    # k-eps no-slip walls need the eps wall treatment (eps pinned from k,
+    # TCT_eps_Cmk2kXn_WALL) exactly like the shipped Wedge deck's wedge
+    # surface — without it the wall-adjacent eps source term
+    # C2eps*eps^2/k is numerically unbounded as k->0 at the wall
+    wall_bc = ("NT_WNS_2D, TCT_eps_Cmk2kXn_WALL_2D" if turb_model == 4
+               else "NT_WNS_2D")
+    bc_bottom = (wall_bc if wall_bottom
                  else "NT_D0Y_2D, CT_V_CONST_2D")
+
+    def bounds_block(conds, flows):
+        out = []
+        for b, (c, fw) in enumerate(zip(conds, flows), start=1):
+            out += [f"<data/Contour1.Bound{b}.Cond={c}>",
+                    f"<data/Contour1.Bound{b}.Flow2D={fw}>",
+                    f"<data/Contour1.Bound{b}.TurbulenceModel={turb_model}>",
+                    f"<data/Contour1.Bound{b}.isReset=0>"]
+        return "\n".join(out)
+
+    if step_bottom:
+        # forward-facing step carved from the contour (Wedge.dat pattern:
+        # wall bounds + Type=0 solid area fill inside the cut-off corner)
+        xs, h = 0.75 * lx, 0.25 * ly
+        pts = [(0.0, ly), (lx, ly), (lx, h), (xs, h), (xs, 0.0),
+               (0.0, 0.0)]
+        conds = ["NT_FC_2D",                                   # top stream
+                 "NT_D0X_2D, TCT_dkdx_NULL_2D, TCT_depsdx_NULL_2D",
+                 wall_bc,                                      # step top
+                 wall_bc,                                      # step face
+                 bc_bottom,                                    # bottom
+                 "NT_FC_2D"]                                   # inlet
+        flows = [2, 1, 1, 1, 1, 1]
+        pts_txt = "\n".join(f"{x} {y}" for (x, y) in pts)
+        seed_i = int(xs / dx) + max(2, int(0.05 * nx))
+        seed_j = max(1, int(h / dy) // 2)
+        contour_block = f"""<data/NumContour=1>
+<table=Contour1/{len(pts)}>
+{pts_txt}
+<endtable>
+<data/Contour1.MaterialID=0>
+{bounds_block(conds, flows)}
+<data/NumArea=2>
+<table=Area1/1>
+3 3
+<endtable>
+<data/Area1.Type=1>
+<data/Area1.Flow2D=1>
+<data/Area1.TurbulenceModel={turb_model}>
+<data/Area1.MaterialID=0>
+<table=Area2/1>
+{seed_i} {seed_j}
+<endtable>
+<data/Area2.Type=0>
+<data/Area2.MaterialID=1>"""
+    else:
+        conds = ["NT_FC_2D", "NT_D0X_2D", bc_bottom, "NT_FC_2D"]
+        flows = [2, 1, 1, 1]
+        contour_block = f"""<data/NumContour=1>
+<table=Contour1/4>
+0.0   {ly}
+{lx} {ly}
+{lx} 0.0
+0.0   0.0
+<endtable>
+<data/Contour1.MaterialID=0>
+{bounds_block(conds, flows)}
+<data/NumArea=1>
+<table=Area1/1>
+3 3
+<endtable>
+<data/Area1.Type=1>
+<data/Area1.Flow2D=1>
+<data/Area1.TurbulenceModel={turb_model}>"""
     rect = ""
     nrects = 0
     if with_rect:
@@ -158,37 +236,7 @@ def channel_deck(nx: int = 64, ny: int = 64, u: float = 500.0,
 <data/NumCircles=0>
 <data/NumSingleBounds=0>
 <data/NumAirfoils=0>
-<data/NumContour=1>
-<table=Contour1/4>
-0.0   {ly}
-{lx} {ly}
-{lx} 0.0
-0.0   0.0
-<endtable>
-<data/Contour1.MaterialID=0>
-<data/Contour1.Bound1.Cond=NT_FC_2D>
-<data/Contour1.Bound2.Cond=NT_D0X_2D>
-<data/Contour1.Bound3.Cond={bc_bottom}>
-<data/Contour1.Bound4.Cond=NT_FC_2D>
-<data/Contour1.Bound1.Flow2D=2>
-<data/Contour1.Bound2.Flow2D=1>
-<data/Contour1.Bound3.Flow2D=1>
-<data/Contour1.Bound4.Flow2D=1>
-<data/Contour1.Bound1.TurbulenceModel={turb_model}>
-<data/Contour1.Bound2.TurbulenceModel={turb_model}>
-<data/Contour1.Bound3.TurbulenceModel={turb_model}>
-<data/Contour1.Bound4.TurbulenceModel={turb_model}>
-<data/Contour1.Bound1.isReset=0>
-<data/Contour1.Bound2.isReset=0>
-<data/Contour1.Bound3.isReset=0>
-<data/Contour1.Bound4.isReset=0>
-<data/NumArea=1>
-<table=Area1/1>
-3 3
-<endtable>
-<data/Area1.Type=1>
-<data/Area1.Flow2D=1>
-<data/Area1.TurbulenceModel={turb_model}>
+{contour_block}
 <data/InitTime=0.>
 <data/NumSrc=0>
 <data/NumXCut=0>
@@ -223,19 +271,23 @@ def freestream_deck(problem_type: int = 0, u: float = 500.0, v: float = 0.0,
 def reacting_rans_deck(nx: int, ny: int, turb_model: int = 4,
                        turb_ext_model: int = 4, cfl: float = 0.25,
                        wall_bottom: bool = False,
-                       adiabatic: bool = True) -> Deck:
+                       adiabatic: bool = True,
+                       with_step: bool = False) -> Deck:
     """Benchmark case: reacting (fuel stream + hot oxidizer coflow) RANS
     channel, the headline perf config (BASELINE.md).
 
-    ``wall_bottom=True, adiabatic=False`` is the walls-on bench variant:
-    a no-slip bottom wall with conjugate heat flux — the full Wedge-class
-    physics (wall law/no-slip + CalcHeatOnWallSources + sigma weighting,
-    hyper_flow_node.hpp:447-488, deeps2d_core.cpp:2679-2833) at
-    benchmark scale."""
+    ``wall_bottom=True, adiabatic=False, with_step=True`` is the walls-on
+    bench variant: a no-slip bottom wall plus a contour-carved solid step
+    with conjugate heat flux — the full Wedge-class physics (wall
+    law/no-slip + CalcHeatOnWallSources against the solid's nodes + sigma
+    weighting, hyper_flow_node.hpp:447-488, deeps2d_core.cpp:2679-2833)
+    at benchmark scale (a boundary-edge wall alone has no solid neighbor,
+    so the conjugate-heat stage needs the solid; see channel_deck's
+    step_bottom note on why a Rect solid cannot host k-eps walls)."""
     d = channel_deck(nx=nx, ny=ny, u=600.0, v=0.0, problem_type=1,
                      turb_model=turb_model, turb_ext_model=turb_ext_model,
                      cfl=cfl, beta=0.95, nmax=100,
-                     wall_bottom=wall_bottom)
+                     wall_bottom=wall_bottom, step_bottom=with_step)
     # fuel-rich hot top stream ignites against oxidizer interior
     d.data["Flow2D-2.CompIndex"] = "0"   # fuel
     d.data["Flow2D-2.T"] = "1400."

@@ -156,6 +156,31 @@ def test_pallas_persistent_carry_bitwise_vs_classic():
         assert rel.max() < 5e-3, (f, rel.max())
 
 
+def test_pallas_walled_heat_close_to_xla():
+    """Walls-on bench physics (no-slip bottom wall + conjugate heat +
+    sigma weighting — the Wedge-class feature set) through the fused
+    kernel: matches the XLA path within the dt-lag envelope (wider here
+    than on the open-channel cases: the step's impulsive bow shock makes
+    dt move faster per iteration, so the fused path's K-frozen dt
+    deviates more — measured ~7e-3 at iteration 7)."""
+    mk = lambda: reacting_rans_deck(48, 40, wall_bottom=True,  # noqa: E731
+                                    adiabatic=False, with_step=True)
+    ref = Solver(build_case(mk()))
+    pal = Solver(build_case(mk()), use_pallas=True, pallas_tile=(16, 16),
+                 pallas_fuse=2)
+    ref.run_iters(7)
+    d = pal.run_iters(7)
+    assert not np.asarray(d["unstable"]).any()
+    assert np.abs(np.asarray(pal.state.mu_t)).max() > 0
+    # the wall SrcAdd/heat stages actually fired
+    assert np.abs(np.asarray(pal.state.Q_conv)).max() > 0
+    for f in ["S", "U", "V", "p", "Tg"]:
+        a = np.asarray(getattr(ref.state, f))
+        b = np.asarray(getattr(pal.state, f))
+        rel = np.abs(a - b) / (np.abs(a).max() + 1e-30)
+        assert rel.max() < 2e-2, (f, rel.max())
+
+
 def test_pallas_rms_excludes_tile_padding():
     """Grid sizes that don't divide the tile: the edge-replicated pad
     rows/cols must not contribute to the RMS reduction (they previously
