@@ -170,38 +170,78 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         """Padded carry layout (…, Xp, Yp) -> (…, X, Y)."""
         return a[..., :X, :Y]
 
-    def _lead_pad(a):
-        return [(0, 0)] * (a.ndim - 2)
+    def _rows_clamped(c, g0, n):
+        """n rows of the carry starting at global row g0, clamped to
+        [0, X-1] (edge replication beyond the real extent, matching
+        explode()'s jnp.pad mode="edge") — built from PURE slices and
+        small edge broadcasts so XLA only ever copies strip-sized bytes
+        (an edge-mode pad of the full (Xp, Yp) carry materializes a
+        whole padded copy per leaf per block)."""
+        pieces = []
+        g = g0
+        while g < g0 + n:
+            if g < 0:
+                take = min(-g, g0 + n - g)
+                pieces.append(jnp.broadcast_to(
+                    c[..., 0:1, :], c.shape[:-2] + (take,) + c.shape[-1:]))
+            elif g >= X:
+                take = g0 + n - g
+                pieces.append(jnp.broadcast_to(
+                    c[..., X - 1:X, :],
+                    c.shape[:-2] + (take,) + c.shape[-1:]))
+            else:
+                take = min(X, g0 + n) - g
+                pieces.append(c[..., g:g + take, :])
+            g += take
+        return pieces[0] if len(pieces) == 1 else \
+            jnp.concatenate(pieces, axis=-2)
+
+    def _cols_clamped(c, g0, n):
+        """n columns starting at global col g0, clamped to [0, Y-1]."""
+        pieces = []
+        g = g0
+        while g < g0 + n:
+            if g < 0:
+                take = min(-g, g0 + n - g)
+                pieces.append(jnp.broadcast_to(
+                    c[..., :, 0:1], c.shape[:-1] + (take,)))
+            elif g >= Y:
+                take = g0 + n - g
+                pieces.append(jnp.broadcast_to(
+                    c[..., :, Y - 1:Y], c.shape[:-1] + (take,)))
+            else:
+                take = min(Y, g0 + n) - g
+                pieces.append(c[..., :, g:g + take])
+            g += take
+        return pieces[0] if len(pieces) == 1 else \
+            jnp.concatenate(pieces, axis=-1)
 
     def build_xstrips(c):
         """(…, Xp, Yp) carry -> (…, nbx*2HX, EY) halo-ROW strips.
 
         Tile i's window rows [0, HX) and [HX+TX, WX) in window-column
-        layout, sourced from the clamped global rows (edge replication at
-        the grid boundary == explode()'s jnp.pad mode="edge"), then
-        Y-exploded into the same overlapping window columns the kernel
-        windows use.  Values beyond the real (X, Y) extent replicate the
-        last real row/col exactly like explode() did, so the assembled
-        windows are bitwise-identical to the exploded staging everywhere
-        a real node can read."""
-        cp = jnp.pad(c[..., :X, :Y],
-                     _lead_pad(c) + [(HX, Xp - X + HX), (HY, Yp - Y + HY)],
-                     mode="edge")
+        layout, sourced from the clamped global rows, then Y-exploded
+        into the same overlapping window columns the kernel windows use.
+        Values beyond the real (X, Y) extent replicate the last real
+        row/col exactly like explode() did, so the assembled windows are
+        bitwise-identical to the exploded staging everywhere a real node
+        can read."""
         rows = jnp.concatenate(
-            [cp[..., i * TX + off:i * TX + off + HX, :]
-             for i in range(nbx) for off in (0, TX + HX)], axis=-2)
-        return jnp.concatenate([rows[..., :, j * TY:j * TY + WY]
-                                for j in range(nby)], axis=-1)
+            [_rows_clamped(c, i * TX - HX + (0 if off == 0 else TX + HX),
+                           HX)
+             for i in range(nbx) for off in (0, 1)], axis=-2)
+        # Y-explode the (small) strip-row array into window columns
+        return jnp.concatenate(
+            [_cols_clamped(rows, j * TY - HY, WY) for j in range(nby)],
+            axis=-1)
 
     def build_ystrips(c):
         """(…, Xp, Yp) carry -> (…, Xp, nby*2HY) halo-COLUMN strips
         (tile j's window cols [0, HY) and [HY+TY, WY), center rows)."""
-        cp = jnp.pad(c[..., :, :Y],
-                     _lead_pad(c) + [(0, 0), (HY, Yp - Y + HY)],
-                     mode="edge")
         return jnp.concatenate(
-            [cp[..., :, j * TY + off:j * TY + off + HY]
-             for j in range(nby) for off in (0, TY + HY)], axis=-1)
+            [_cols_clamped(c, j * TY - HY + (0 if off == 0 else TY + HY),
+                           HY)
+             for j in range(nby) for off in (0, 1)], axis=-1)
 
     def aux_at(it):
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
