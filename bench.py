@@ -46,7 +46,7 @@ def main():
     if os.environ.get("BENCH_FASTMATH", "1") == "1":
         import dataclasses
         case.params = dataclasses.replace(case.params, fast_math=True)
-    fuse = int(os.environ.get("BENCH_FUSE", "4"))
+    fuse = int(os.environ.get("BENCH_FUSE", "8"))
     solver = Solver(case, use_pallas=use_pallas, pallas_tile=tile,
                     pallas_fuse=fuse)
 
