@@ -16,7 +16,11 @@ import numpy as np
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", "4096"))
-    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    # default 97: n_iters-1 = 96 = 12 K-blocks at K=8 — no K=1 remainder
+    # block, and the once-per-chunk XLA prologue/epilogue (pass12 + gfc on
+    # the full grid, ~80 ms at 4096^2) amortizes to <1 ms/iter; the
+    # steady-state rate is what BASELINE.md's GCUPS metric targets
+    iters = int(os.environ.get("BENCH_ITERS", "97"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     tile_s = os.environ.get("BENCH_TILE", "128x256")

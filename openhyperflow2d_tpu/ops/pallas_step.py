@@ -161,8 +161,6 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         return jnp.concatenate([ap[..., :, j * TY:j * TY + WY]
                                 for j in range(nby)], axis=-1)
 
-    # static inputs exploded once (per chunk call when meta is traced)
-    meta_ex = {f: explode(getattr(meta, f)) for f in META_BIG}
     p_blk = SolverParams(**{**p.__dict__, "MaxX": WX, "MaxY": WY})
     EX, EY = nbx * WX, nby * WY
 
@@ -243,6 +241,30 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                            HY)
              for j in range(nby) for off in (0, 1)], axis=-1)
 
+    # static meta inputs, staged once (per chunk call when meta is traced).
+    # persistent mode stages meta exactly like the slim carry — center
+    # blocks plus halo strips, window-assembled in VMEM — so no kernel
+    # input buffer is window-sized and per-block meta HBM traffic drops
+    # from window-redundant to ~center-sized.  (Measured: this does NOT
+    # lift the remote-compile-helper's ~350-450 KB ceiling — that limit
+    # binds on the in-kernel assembled window VALUE, not on input buffer
+    # planes; 128x512xK=8 still crashes with strip-staged inputs.)  Pad
+    # lanes of the meta centers are zeros (unset nodes): window halos
+    # beyond the real extent come from the clamped strips (edge
+    # replication, == explode()'s mode="edge"), so real-node windows are
+    # bitwise identical to the exploded staging.
+    if persistent:
+        def _pad_blk(a):
+            return jnp.pad(a, [(0, 0)] * (a.ndim - 2)
+                           + [(0, Xp - X), (0, Yp - Y)])
+
+        meta_ctr = {f: _pad_blk(getattr(meta, f)) for f in META_BIG}
+        meta_xs = {f: build_xstrips(meta_ctr[f]) for f in META_BIG}
+        meta_ys = ({f: build_ystrips(meta_ctr[f]) for f in META_BIG}
+                   if HY else None)
+    else:
+        meta_ex = {f: explode(getattr(meta, f)) for f in META_BIG}
+
     def aux_at(it):
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
 
@@ -251,10 +273,14 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     # body lets Mosaic fold the Src*dt term (and saves the input DMA)
     has_src = p.has_ext_src
     nS = len(SLIM_BIG)
-    # persistent staging: per slim leaf the kernel gets [center block,
-    # x-strip block, y-strip block] instead of one pre-exploded window
-    n_stage = nS * ((3 if HY else 2) if persistent else 1)
-    n_in = n_stage + len(META_BIG) + (1 if has_src else 0)
+    nM = len(META_BIG)
+    # persistent staging: per slim/meta leaf the kernel gets [center
+    # block, x-strip block, y-strip block] instead of one pre-exploded
+    # window
+    n_per = (3 if HY else 2) if persistent else 1
+    n_stage = nS * n_per
+    n_meta_stage = nM * n_per
+    n_in = n_stage + n_meta_stage + (1 if has_src else 0)
 
     def make_fused(KK):
         """pallas_call running KK fused iterations per invocation."""
@@ -263,8 +289,12 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             slim_refs = refs[:nS]
             xs_refs = refs[nS:2 * nS] if persistent else None
             ys_refs = refs[2 * nS:3 * nS] if (persistent and HY) else None
-            meta_refs = refs[n_stage:n_stage + len(META_BIG)]
-            src_ref = (refs[n_stage + len(META_BIG)] if has_src
+            meta_refs = refs[n_stage:n_stage + nM]
+            mxs_refs = (refs[n_stage + nM:n_stage + 2 * nM]
+                        if persistent else None)
+            mys_refs = (refs[n_stage + 2 * nM:n_stage + 3 * nM]
+                        if (persistent and HY) else None)
+            src_ref = (refs[n_stage + n_meta_stage] if has_src
                        else None)
             chem_refs = refs[n_in:n_in + len(CHEM_FIELDS)]
             k0 = n_in + len(CHEM_FIELDS)
@@ -282,7 +312,28 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                 pr_max[...] = jnp.zeros_like(pr_max)
                 pr_uns[...] = jnp.zeros_like(pr_uns)
 
-            mvals = {f: meta_refs[k][...] for k, f in enumerate(META_BIG)}
+            def assemble(c_ref, xs_ref, ys_ref):
+                """Window value from [x-strip ; y-strip | center | y-strip
+                ; x-strip] — the strips carry the overlapping halo ring
+                the disjoint center blocks can't."""
+                c = c_ref[...]
+                if HY:
+                    ysr = ys_ref[...]
+                    c = jnp.concatenate(
+                        [ysr[..., :, 0:HY], c, ysr[..., :, HY:2 * HY]],
+                        axis=-1)
+                xsr = xs_ref[...]
+                return jnp.concatenate(
+                    [xsr[..., 0:HX, :], c, xsr[..., HX:2 * HX, :]],
+                    axis=-2)
+
+            if persistent:
+                mvals = {f: assemble(meta_refs[k], mxs_refs[k],
+                                     mys_refs[k] if HY else None)
+                         for k, f in enumerate(META_BIG)}
+            else:
+                mvals = {f: meta_refs[k][...]
+                         for k, f in enumerate(META_BIG)}
             zi32 = jnp.zeros((WX, WY), jnp.int32)
             meta_blk = GridMeta(NGX=zi32.astype(jnp.int8),
                                 NGY=zi32.astype(jnp.int8),
@@ -375,22 +426,9 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                 return tuple(getattr(slim, f) for f in SLIM_BIG)
 
             if persistent:
-                # assemble each window in VMEM: [x-strip ; y-strip |
-                # center | y-strip ; x-strip] — the strips carry the
-                # overlapping halo ring the disjoint center blocks can't
-                def assemble(k):
-                    c = slim_refs[k][...]
-                    if HY:
-                        ysr = ys_refs[k][...]
-                        c = jnp.concatenate(
-                            [ysr[..., :, 0:HY], c, ysr[..., :, HY:2 * HY]],
-                            axis=-1)
-                    xsr = xs_refs[k][...]
-                    return jnp.concatenate(
-                        [xsr[..., 0:HX, :], c, xsr[..., HX:2 * HX, :]],
-                        axis=-2)
-
-                carry = tuple(assemble(k) for k in range(nS))
+                carry = tuple(assemble(slim_refs[k], xs_refs[k],
+                                       ys_refs[k] if HY else None)
+                              for k in range(nS))
             else:
                 carry = tuple(slim_refs[k][...] for k in range(nS))
             if k_loop and KK > 1:
@@ -439,11 +477,16 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                        + [strip_spec_for(f, 2 * HX, WY) for f in SLIM_BIG]
                        + ([strip_spec_for(f, TX, 2 * HY)
                            for f in SLIM_BIG] if HY else []))
+            meta_in = ([strip_spec_for(f, TX, TY) for f in META_BIG]
+                       + [strip_spec_for(f, 2 * HX, WY) for f in META_BIG]
+                       + ([strip_spec_for(f, TX, 2 * HY)
+                           for f in META_BIG] if HY else []))
         else:
             slim_in = [in_spec_for(f, "slim") for f in SLIM_BIG]
+            meta_in = [in_spec_for(f, "meta") for f in META_BIG]
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                     + slim_in
-                    + [in_spec_for(f, "meta") for f in META_BIG]
+                    + meta_in
                     + ([in_spec_for(None, "src")] if has_src else [])
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)
                        for _ in CHEM_FIELDS])
@@ -540,8 +583,15 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                                if HY else []))
             else:
                 slim_ins = [explode(getattr(slim, f)) for f in SLIM_BIG]
+            if persistent:
+                meta_ins = ([meta_ctr[f] for f in META_BIG]
+                            + [meta_xs[f] for f in META_BIG]
+                            + ([meta_ys[f] for f in META_BIG]
+                               if HY else []))
+            else:
+                meta_ins = [meta_ex[f] for f in META_BIG]
             ins = (slim_ins
-                   + [meta_ex[f] for f in META_BIG]
+                   + meta_ins
                    + ([src_ex] if has_src else [])
                    + [getattr(chem, f) for f in CHEM_FIELDS])
             outs = fused(scal, *ins)
