@@ -111,6 +111,192 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
+# --------------------------------------------------------------------------
+# bit-packed transport form: the fused Pallas kernel used to re-run the
+# full decode above once per invocation on every (window-redundant) tile —
+# ~800 plane-ops/cell, ~10 ms per K-block at 4096² (PERF.md).  Packing the
+# ~119 bool planes into 4 uint32 bit-planes outside the kernel (once per
+# chunk) and unpacking in-kernel (shift+and+cmp, ~3 ops/mask) plus
+# streaming the 13 float weight planes directly cuts that per-block decode
+# to ~a third.  y_r / jp1 are NOT streamed: they depend on the window row
+# offset j0 and the in-kernel iota form must be preserved bitwise (ghost
+# columns beyond the real extent carry their true global j, not an
+# edge-replicated copy).
+# --------------------------------------------------------------------------
+_CTX_BOOL_STACKS = [
+    "evolve", "dxn", "dyn", "dx2", "dy2", "ddmask",
+    "ev_flux_x", "ev_avg_x", "ev_flux_y", "ev_avg_y",
+]
+_CTX_BOOL_PLANES = [
+    "solid", "fc", "active", "nrbc", "bXl", "bXr", "bYu", "bYd",
+    "u_const", "v_const", "wall_law", "wall_ns", "wall", "turb_on",
+    "m_prandtl", "m_keps", "m_sa", "m_smag", "kconst", "econst",
+    "ewall", "sa_bc", "dydx_ok", "dydy_ok", "g_dydx", "g_dydy",
+    "km", "em", "react",
+]
+N_CTX_BITS = 9 * len(_CTX_BOOL_STACKS) + len(_CTX_BOOL_PLANES)
+N_CTX_WORDS = -(-N_CTX_BITS // 32)
+
+
+def _pack_bits(bits):
+    words = []
+    for w0 in range(0, len(bits), 32):
+        grp = bits[w0:w0 + 32]
+        acc = grp[0].astype(jnp.uint32)
+        for i, b in enumerate(grp[1:], start=1):
+            acc = acc | (b.astype(jnp.uint32) << i)
+        words.append(acc)
+    return jnp.stack(words)
+
+
+def build_packed_ctx(meta, params):
+    """(N_CTX_WORDS, X, Y) uint32 bit-planes of every bool StaticCtx
+    field, computed DIRECTLY from meta — same formulas as
+    build_static_ctx but never materializing the (9, X, Y) bool stacks
+    (the stacked transient costs ~2 GB at 4096² inside a jitted chunk;
+    the elementwise OR chains here fuse to nothing).  Bit layout matches
+    unpack_static_ctx.  Float/weight planes are NOT packed: they are all
+    trivial per-cell functions of meta planes the kernel already holds
+    and are rebuilt there (see unpack_static_ctx)."""
+    p = params
+    ct, tct = meta.CT, meta.TCT
+    shape = ct.shape
+    ones = jnp.ones(shape, bool)
+    zeros = jnp.zeros(shape, bool)
+    solid = iscond(ct, fl.CT_SOLID_2D)
+    is_set = iscond(ct, fl.CT_NODE_IS_SET_2D)
+    fc = iscond(ct, fl.NT_FC_2D)
+    active = is_set & ~solid & ~fc
+    keps = iscond(tct, fl.TCT_k_eps_Model_2D)
+    sa = iscond(tct, fl.TCT_Spalart_Allmaras_Model_2D)
+    turb2 = (keps | sa) if p.sm == fl.SM_NS else zeros
+
+    stacks = {f: [] for f in _CTX_BOOL_STACKS}
+    for k in range(9):
+        if k < 4:
+            c = iscond(ct, fl.CT_Rho_CONST_2D << k)
+            dxn = iscond(ct, fl.CT_dRhodx_NULL_2D << k)
+            dyn = iscond(ct, fl.CT_dRhody_NULL_2D << k)
+            dx2 = iscond(ct, fl.CT_d2Rhodx2_NULL_2D << k)
+            dy2 = iscond(ct, fl.CT_d2Rhody2_NULL_2D << k)
+            act, ddc = ones, c
+        elif k < 7:
+            c = iscond(ct, fl.CT_Y_CONST_2D)
+            dxn = iscond(ct, fl.CT_dYdx_NULL_2D)
+            dyn = iscond(ct, fl.CT_dYdy_NULL_2D)
+            dx2 = iscond(ct, fl.CT_d2Ydx2_NULL_2D)
+            dy2 = iscond(ct, fl.CT_d2Ydy2_NULL_2D)
+            act, ddc = ones, c
+        else:
+            s = k - 7
+            c = iscond(tct, fl.TCT_k_CONST_2D << s)
+            dxn = iscond(tct, fl.TCT_dkdx_NULL_2D << s)
+            dyn = iscond(tct, fl.TCT_dkdy_NULL_2D << s)
+            dx2 = iscond(tct, fl.TCT_d2kdx2_NULL_2D << s)
+            dy2 = iscond(tct, fl.TCT_d2kdy2_NULL_2D << s)
+            act = (turb2 if k == 7 else
+                   (keps if p.sm == fl.SM_NS else zeros))
+            ddc = iscond(ct, fl.TCT_k_CONST_2D << s)
+        evolve = active & act & ~c
+        stacks["evolve"].append(evolve)
+        stacks["dxn"].append(dxn)
+        stacks["dyn"].append(dyn)
+        stacks["dx2"].append(dx2)
+        stacks["dy2"].append(dy2)
+        stacks["ddmask"].append(active & act & ~ddc)
+        stacks["ev_flux_x"].append(evolve & ~dxn)
+        stacks["ev_avg_x"].append(evolve & dxn)
+        stacks["ev_flux_y"].append(evolve & ~dyn)
+        stacks["ev_avg_y"].append(evolve & dyn)
+
+    wall_lawm = iscond(ct, fl.CT_WALL_LAW_2D)
+    wall_nsm = iscond(ct, fl.CT_WALL_NO_SLIP_2D) & ~wall_lawm
+    m_prandtl = iscond(tct, fl.TCT_Prandtl_Model_2D)
+    m_keps = keps & ~m_prandtl
+    m_sa = sa & ~m_prandtl & ~m_keps
+    dydx_ok = ~iscond(ct, fl.CT_dYdx_NULL_2D)
+    dydy_ok = ~iscond(ct, fl.CT_dYdy_NULL_2D)
+    planes = {
+        "solid": solid, "fc": fc, "active": active,
+        "nrbc": iscond(ct, fl.CT_NONREFLECTED_2D),
+        "bXl": meta.idXl != 0, "bXr": meta.idXr != 0,
+        "bYu": meta.idYu != 0, "bYd": meta.idYd != 0,
+        "u_const": iscond(ct, fl.CT_U_CONST_2D),
+        "v_const": iscond(ct, fl.CT_V_CONST_2D),
+        "wall_law": wall_lawm, "wall_ns": wall_nsm,
+        "wall": wall_nsm | wall_lawm, "turb_on": tct != 0,
+        "m_prandtl": m_prandtl, "m_keps": m_keps, "m_sa": m_sa,
+        "m_smag": (iscond(tct, fl.TCT_Smagorinsky_Model_2D)
+                   & ~m_prandtl & ~m_keps & ~m_sa),
+        "kconst": iscond(tct, fl.TCT_k_CONST_2D),
+        "econst": iscond(tct, fl.TCT_eps_CONST_2D),
+        "ewall": iscond(tct, fl.TCT_eps_Cmk2kXn_WALL_2D),
+        "sa_bc": (iscond(ct, fl.CT_WALL_NO_SLIP_2D) | wall_lawm
+                  | iscond(tct, fl.TCT_nu_t_CONST_2D)),
+        "dydx_ok": dydx_ok, "dydy_ok": dydy_ok,
+        "g_dydx": active & dydx_ok, "g_dydy": active & dydy_ok,
+        "km": active & (keps | sa), "em": active & keps,
+        "react": active & ~iscond(ct, fl.CT_Y_CONST_2D),
+    }
+    bits = []
+    for f in _CTX_BOOL_STACKS:
+        bits.extend(stacks[f])
+    bits.extend(planes[f] for f in _CTX_BOOL_PLANES)
+    return _pack_bits(bits)
+
+
+def unpack_static_ctx(packed, meta, params, j0=0) -> StaticCtx:
+    """Inverse of build_packed_ctx on a (window) block.  The bool masks
+    come from the bit-planes (~3 ops each); the float/weight planes and
+    the j0-dependent y_r / jp1 are rebuilt from the window's meta planes
+    with EXACTLY build_static_ctx's expressions, so the result is
+    bitwise identical to an in-kernel build_static_ctx(meta, params,
+    j0).  Uniform meshes only (the Pallas path already requires that)."""
+    p = params
+    dtype = p.jdtype
+    shape = packed.shape[1:]
+    idx = 0
+    one = jnp.uint32(1)
+
+    def nextbit():
+        nonlocal idx
+        w, b = divmod(idx, 32)
+        idx += 1
+        return ((packed[w] >> jnp.uint32(b)) & one) != 0
+
+    vals = {}
+    for f in _CTX_BOOL_STACKS:
+        vals[f] = jnp.stack([nextbit() for _ in range(9)])
+    for f in _CTX_BOOL_PLANES:
+        vals[f] = nextbit()
+
+    n1 = meta.idXl.astype(dtype)
+    n2 = meta.idXr.astype(dtype)
+    n3 = meta.idYu.astype(dtype)
+    n4 = meta.idYd.astype(dtype)
+    n_n = jnp.maximum(n1 + n2, 1.0)
+    m_m = jnp.maximum(n3 + n4, 1.0)
+    rn_n = 1.0 / n_n
+    rm_m = 1.0 / m_m
+    vals.update(
+        n1=n1, n2=n2, n3=n3, n4=n4,
+        rn_n=rn_n.astype(dtype), rm_m=rm_m.astype(dtype),
+        dx1nn=(rn_n / p.dx).astype(dtype),
+        dy1mm=(rm_m / p.dy).astype(dtype),
+        sig=jnp.where(vals["wall"], jnp.asarray(p.SigW, dtype),
+                      jnp.asarray(p.SigF, dtype)))
+    l_base = jnp.maximum(meta.l_min, min(p.dx, p.dy)) * 0.41
+    vals.update(
+        l_base=l_base.astype(dtype),
+        n_0=(meta.l_min * 0.41).astype(dtype),
+        l_s=jnp.where(l_base != 0, l_base, 1).astype(dtype),
+        l_min_s=jnp.where(meta.l_min != 0, meta.l_min, 1).astype(dtype))
+    jj = j0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(dtype)
+    vals["y_r"] = (jj + 0.5) * p.dy
+    vals["jp1"] = jj + 1.0
+    return StaticCtx(**vals)
+
+
 def build_static_ctx(meta, params, j0=0) -> StaticCtx:
     """Decode GridMeta + SolverParams into a StaticCtx.
 

@@ -64,7 +64,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import flags as fl
 from ..core.physics import node_masks, _safe_div
 from ..core.state import ChemTables, GridMeta, SolverParams, SolverState
-from ..core.static_ctx import build_static_ctx
+from ..core.static_ctx import (N_CTX_WORDS, build_packed_ctx,
+                               build_static_ctx, unpack_static_ctx)
 from ..core.step import (SlimState, StepAux, expand, gfc, make_aux, pass12,
                          shrink, _SLIM_FIELDS)
 
@@ -253,6 +254,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     # beyond the real extent come from the clamped strips (edge
     # replication, == explode()'s mode="edge"), so real-node windows are
     # bitwise identical to the exploded staging.
+    ctx_stream = persistent and os.environ.get("HF2D_CTXSTREAM", "1") == "1"
     if persistent:
         def _pad_blk(a):
             return jnp.pad(a, [(0, 0)] * (a.ndim - 2)
@@ -264,6 +266,18 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                    if HY else None)
     else:
         meta_ex = {f: explode(getattr(meta, f)) for f in META_BIG}
+    if ctx_stream:
+        # decode once per CHUNK at XLA level, stream the bit-packed bool
+        # planes (static_ctx.build_packed_ctx) like the meta planes; the
+        # kernel unpacks per block (~3 ops/mask) instead of re-running
+        # the full ~800 op/cell decode per invocation.  Float weights and
+        # the j0-dependent y_r/jp1 are rebuilt in-kernel from the meta
+        # window (trivial, bitwise identical); only the 4 uint32
+        # bit-planes travel (~0.4 GB incl. strips at 4096² vs ~2 GB for
+        # the unpacked form, which OOMed HBM).
+        ctx_pk = _pad_blk(build_packed_ctx(meta, p))
+        ctx_pk_xs = build_xstrips(ctx_pk)
+        ctx_pk_ys = build_ystrips(ctx_pk) if HY else None
 
     def aux_at(it):
         return make_aux(beta_tab, cfl_tab, turb_start, it, dtype)
@@ -280,7 +294,8 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     n_per = (3 if HY else 2) if persistent else 1
     n_stage = nS * n_per
     n_meta_stage = nM * n_per
-    n_in = n_stage + n_meta_stage + (1 if has_src else 0)
+    n_ctx_stage = n_per if ctx_stream else 0
+    n_in = n_stage + n_meta_stage + n_ctx_stage + (1 if has_src else 0)
 
     def make_fused(KK):
         """pallas_call running KK fused iterations per invocation."""
@@ -294,7 +309,10 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                         if persistent else None)
             mys_refs = (refs[n_stage + 2 * nM:n_stage + 3 * nM]
                         if (persistent and HY) else None)
-            src_ref = (refs[n_stage + n_meta_stage] if has_src
+            c0 = n_stage + n_meta_stage
+            # ctx refs: [pk_ctr, pk_xs, (pk_ys)]
+            ctxp_refs = refs[c0:c0 + n_ctx_stage] if ctx_stream else None
+            src_ref = (refs[c0 + n_ctx_stage] if has_src
                        else None)
             chem_refs = refs[n_in:n_in + len(CHEM_FIELDS)]
             k0 = n_in + len(CHEM_FIELDS)
@@ -354,8 +372,15 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
 
             j0 = tj * TY - HY   # global j of window row 0 (clamped rows
             #                     are only read as masked neighbors)
-            # static decode once per invocation, shared by all KK iterations
-            ctx_blk = build_static_ctx(meta_blk, p_blk, j0)
+            if ctx_stream:
+                # cheap unpack of the pre-decoded ctx (streamed like meta)
+                pk_w = assemble(ctxp_refs[0], ctxp_refs[1],
+                                ctxp_refs[2] if HY else None)
+                ctx_blk = unpack_static_ctx(pk_w, meta_blk, p_blk, j0)
+            else:
+                # static decode once per invocation, shared by all KK
+                # iterations
+                ctx_blk = build_static_ctx(meta_blk, p_blk, j0)
             active_c = ctx_blk.active[HX:HX + TX, HY:HY + TY]
             # validity mask over the tile center: pad rows/columns beyond
             # the real (X, Y) extent carry edge-replicated node flags and
@@ -484,9 +509,20 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         else:
             slim_in = [in_spec_for(f, "slim") for f in SLIM_BIG]
             meta_in = [in_spec_for(f, "meta") for f in META_BIG]
+        if ctx_stream:
+            def ctx_spec(bx, by):
+                return pl.BlockSpec((N_CTX_WORDS, bx, by),
+                                    lambda i, j: (0, i, j),
+                                    memory_space=pltpu.VMEM)
+
+            ctx_in = ([ctx_spec(TX, TY), ctx_spec(2 * HX, WY)]
+                      + ([ctx_spec(TX, 2 * HY)] if HY else []))
+        else:
+            ctx_in = []
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                     + slim_in
                     + meta_in
+                    + ctx_in
                     + ([in_spec_for(None, "src")] if has_src else [])
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)
                        for _ in CHEM_FIELDS])
@@ -590,8 +626,14 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                                if HY else []))
             else:
                 meta_ins = [meta_ex[f] for f in META_BIG]
+            if ctx_stream:
+                ctx_ins = ([ctx_pk, ctx_pk_xs]
+                           + ([ctx_pk_ys] if HY else []))
+            else:
+                ctx_ins = []
             ins = (slim_ins
                    + meta_ins
+                   + ctx_ins
                    + ([src_ex] if has_src else [])
                    + [getattr(chem, f) for f in CHEM_FIELDS])
             outs = fused(scal, *ins)
