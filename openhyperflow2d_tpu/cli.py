@@ -247,9 +247,14 @@ def main(argv=None):
                          is_p_asterisk_out=case.is_p_asterisk_out,
                          cp_arr=cp_arr)
         if case.isOutHeatFluxX and case.flow2d_list:
+            # normalization flow + wall-scan window from the deck keys
+            # Cp_Flow_Index / y_max / y_min (deeps2d_core.cpp:1796,
+            # 2894-2902)
+            hp = case.heatflux_params
             save_x_heat_flux(os.path.join(args.outdir, f"HeatFlux-X-{name}"),
-                             case.grid, st, case.flow2d_list[0],
-                             case.params.Ts0, case.params.MaxY, 0)
+                             case.grid, st,
+                             case.flow2d_list[hp["Cp_Flow_index"] - 1],
+                             case.params.Ts0, hp["y_max"], hp["y_min"])
         if case.isOutHeatFluxY:
             save_y_heat_flux(os.path.join(args.outdir, f"HeatFlux-Y-{name}"),
                              case.grid, st, case.params.Ts0)

@@ -159,6 +159,11 @@ def build_packed_ctx(meta, params):
     trivial per-cell functions of meta planes the kernel already holds
     and are rebuilt there (see unpack_static_ctx)."""
     p = params
+    if not p.uniform_mesh:
+        raise NotImplementedError(
+            "packed StaticCtx hardcodes the uniform-mesh mixing-length "
+            "floor min(dx, dy); non-uniform meshes must use "
+            "build_static_ctx on the XLA path")
     ct, tct = meta.CT, meta.TCT
     shape = ct.shape
     ones = jnp.ones(shape, bool)
@@ -253,6 +258,11 @@ def unpack_static_ctx(packed, meta, params, j0=0) -> StaticCtx:
     bitwise identical to an in-kernel build_static_ctx(meta, params,
     j0).  Uniform meshes only (the Pallas path already requires that)."""
     p = params
+    if not p.uniform_mesh:
+        raise NotImplementedError(
+            "packed StaticCtx hardcodes the uniform-mesh mixing-length "
+            "floor min(dx, dy); non-uniform meshes must use "
+            "build_static_ctx on the XLA path")
     dtype = p.jdtype
     shape = packed.shape[1:]
     idx = 0

@@ -115,6 +115,10 @@ class Case:
     sources: list = field(default_factory=list)
     isOutHeatFluxX: bool = False
     isOutHeatFluxY: bool = False
+    # HeatFlux-X call-site keys (deeps2d_core.cpp:1796, 2894-2902):
+    # Cp_Flow_index selects the normalization flow, y_max/y_min window the
+    # per-column wall scan; required (reference aborts) when isOutHeatFluxX
+    heatflux_params: dict = field(default_factory=dict)
     isRecalcYplus: bool = False
     # swap-file resume (PreloadFlag semantics, deeps2d_core.cpp:3197-3252)
     preloaded: bool = False
@@ -524,6 +528,14 @@ def build_case(deck: Deck, dtype: str = "float64",
         cx_params["Cd_Flow_index"] = deck.get_int("Cd_Flow_Index")
         cx_params["p_ambient"] = deck.get_float("p_ambient")
 
+    # ---- HeatFlux-X window (deeps2d_core.cpp:2894-2902: read iff
+    # isOutHeatFluxX, abort when missing — all three are required) ---------
+    heatflux_params = {}
+    if deck.get_int("isOutHeatFluxX", 0, required=False):
+        heatflux_params["Cp_Flow_index"] = deck.get_int("Cp_Flow_Index")
+        heatflux_params["y_max"] = deck.get_int("y_max")
+        heatflux_params["y_min"] = deck.get_int("y_min")
+
     # ---- wall scan / decomposition bookkeeping (4625-4650) ------------------
     if sm == fl.SM_NS:
         set_wall_nodes(grid)
@@ -678,6 +690,7 @@ def build_case(deck: Deck, dtype: str = "float64",
                                          required=False)),
         isOutHeatFluxY=bool(deck.get_int("isOutHeatFluxY", 0,
                                          required=False)),
+        heatflux_params=heatflux_params,
         isRecalcYplus=bool(deck.get_int("isRecalcYplus", 0,
                                         required=False)),
         preloaded=preload, preload_time=preload_time, swap_path=swap_path)

@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--dce", action="store_true",
+                    help="dead-code-eliminate the jaxpr first, keeping "
+                    "only the slim scan carry live (what the rotated "
+                    "loop actually executes)")
     args = ap.parse_args()
 
     import jax
@@ -53,10 +57,16 @@ def main():
         out, dt_new, _ = gfc(full, meta, p, chem, aux, ctx=ctx)
         out = SolverState(**{**out.__dict__, "dt": dt_new})
         S_c, beta_c, _, _, _ = pass12(out, meta, p, aux, ctx=ctx)
-        return SolverState(**{**out.__dict__, "S": S_c, "beta": beta_c})
+        out2 = SolverState(**{**out.__dict__, "S": S_c, "beta": beta_c})
+        return shrink(out2) if args.dce else out2
 
     slim0 = shrink(s.state)
-    jaxpr = jax.make_jaxpr(body)(slim0)
+    closed = jax.make_jaxpr(body)(slim0)
+    raw = closed.jaxpr
+    if args.dce:
+        from jax._src.interpreters import partial_eval as pe
+        raw, _ = pe.dce_jaxpr(raw, [True] * len(raw.outvars))
+
 
     cells = n * n
     counts = collections.Counter()
@@ -74,7 +84,7 @@ def main():
             counts[name] += 1
             elems[name] += out_e
 
-    walk(jaxpr.jaxpr)
+    walk(raw)
 
     total = 0.0
     rows = []

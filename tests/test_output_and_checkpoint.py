@@ -189,3 +189,60 @@ def test_native_wall_distance_matches_numpy():
     np.testing.assert_array_equal(lm[active], g.l_min[active])
     np.testing.assert_array_equal(iw[active], g.i_wall[active])
     np.testing.assert_array_equal(jw[active], g.j_wall[active])
+
+
+def test_cli_heatflux_x_flow_index_and_window(tmp_path):
+    """HeatFlux-X call-site wiring (deeps2d_core.cpp:1796 + 2894-2902):
+    the CLI must normalize with flow2d_list[Cp_Flow_Index-1] and window
+    the wall scan with y_max/y_min — not the round-3 hardcoded
+    (flow 1, full height)."""
+    from openhyperflow2d_tpu.config.deck import deck_to_text, parse_deck
+    from openhyperflow2d_tpu.cli import main
+    from openhyperflow2d_tpu.examples import reacting_rans_deck
+    from openhyperflow2d_tpu.postproc.outcfd import save_x_heat_flux
+
+    d = reacting_rans_deck(32, 24, wall_bottom=True, adiabatic=False,
+                           with_step=True)
+    d.data["isOutHeatFluxX"] = "1"
+    d.data["Cp_Flow_Index"] = "2"       # non-default flow
+    d.data["y_min"] = "0"
+    d.data["y_max"] = "4"               # excludes the step-top walls (j=6)
+    d.data["Nmax"] = "6"
+    deck_path = tmp_path / "HF.dat"
+    deck_path.write_text(deck_to_text(d))
+
+    rc = main([str(deck_path), "--max-cycles", "1",
+               "--outdir", str(tmp_path), "--no-swap"])
+    assert rc == 0
+    hf_path = tmp_path / "HeatFlux-X-Channel"
+    assert hf_path.exists()
+
+    # rebuild the identical end state from the CLI's checkpoint and call
+    # the writer directly with the deck-keyed flow/window -> byte-equal
+    case = build_case(parse_deck(deck_to_text(d)))
+    s = Solver(case)
+    load_checkpoint(str(tmp_path / "Channel.ckpt.npz"), s)
+    st = s.host_state()
+    hp = case.heatflux_params
+    assert hp == {"Cp_Flow_index": 2, "y_max": 4, "y_min": 0}
+    exp_path = tmp_path / "expected"
+    save_x_heat_flux(str(exp_path), case.grid, st,
+                     case.flow2d_list[hp["Cp_Flow_index"] - 1],
+                     case.params.Ts0, hp["y_max"], hp["y_min"])
+    assert hf_path.read_bytes() == exp_path.read_bytes()
+
+    # hand-computed Cp at a bottom-wall column with flow-2 normalization
+    fl2 = case.flow2d_list[1]
+    q2 = 0.5 * fl2.ROG() * fl2.Wg() ** 2
+    rows = [ln.split() for ln in hf_path.read_text().splitlines()[1:]]
+    i_col = 3
+    cp_file = float(rows[i_col][3])
+    cp_hand = (float(np.asarray(st.p)[i_col, 0]) - fl2.Pg()) / q2
+    assert cp_file == pytest.approx(cp_hand, rel=2e-6)
+
+    # the old hardcoded call site (flow 1, full height) writes a
+    # DIFFERENT file -> the keys are load-bearing
+    old_path = tmp_path / "old_hardcoded"
+    save_x_heat_flux(str(old_path), case.grid, st, case.flow2d_list[0],
+                     case.params.Ts0, case.params.MaxY, 0)
+    assert hf_path.read_bytes() != old_path.read_bytes()
