@@ -8,9 +8,11 @@ blocks, so the two paths cannot drift apart; the static bit-flag decode
 (core/static_ctx.py) runs once per invocation and amortizes over the K
 fused iterations.
 
-Tiling: one fused iteration needs a halo ring H=3 (deepest dependency
-chain: center pass-1 needs neighbor dSdx, which needs flux A two cells
-out, which needs gradients three cells out); K iterations need 3K.
+Tiling: one fused iteration needs a halo ring H = halo_depth(params):
+3 when a d2*-NULL soft BC is present (deepest chain: center pass-1 needs
+neighbor dSdx, which needs flux A two cells out, which needs gradients
+three cells out), else 2 (center <- A/B/SrcAdd at +-1 <- gradients /
+turbulence S-reads at +-2); K iterations need H*K.
 Overlapping halo windows are not expressible as standard (aligned,
 disjoint) BlockSpec blocks, so the window halos are staged one of two
 ways (edge replication at the grid boundary == the XLA path's
@@ -30,9 +32,9 @@ reference's idXl/idXr/idYu/idYd neighbor flags):
 
 The kernel then runs a standard auto-pipelined BlockSpec grid, computes
 everything redundantly on the halo, and writes back only the (TX, TY)
-center.  Alignment forces HY = 64 >= 3K when Y is tiled (so temporal
-blocking in Y is free up to K=21) and HX = 3K rounded up to a multiple
-of 4.
+center.  Alignment forces HY = 64 >= H*K when Y is tiled (so temporal
+blocking in Y is free up to K=32 at H=2) and HX = H*K rounded up to a
+multiple of 4.
 
 dt semantics on this path: the global dt reduction is evaluated at scan
 level from the carried primitives and FROZEN across the K fused
@@ -69,7 +71,25 @@ from ..core.static_ctx import (N_CTX_WORDS, build_packed_ctx,
 from ..core.step import (SlimState, StepAux, expand, gfc, make_aux, pass12,
                          shrink, _SLIM_FIELDS)
 
-HALO = 3
+HALO = 3    # worst-case per-iteration dependency depth (d2-BC cases)
+
+
+def halo_depth(params) -> int:
+    """Per-iteration stencil dependency depth of one fused iteration.
+
+    The deepest chain is: pass-1 center <- neighbor dSdx (only when a
+    d2*-NULL soft BC is present: dXX averages dSdx_new at +-1,
+    core/step.py pass12) <- flux A at +-2 <- gradients at +-3.  Without
+    d2 flags the chain is: center <- A/B/SrcAdd at +-1 <- gradients /
+    turbulence-model S-reads at +-2, so a halo of 2 suffices — verified
+    bitwise against the XLA path by the interpret-mode tests on d2-free
+    decks (tests/test_pallas.py).  ``HF2D_HALO`` overrides (A/B lever).
+    """
+    env = os.environ.get("HF2D_HALO", "")
+    if env:
+        return int(env)
+    return 3 if (params.has_d2x or params.has_d2y) else 2
+
 
 # slim leaves staged through the kernel (dt is a scalar, passed via SMEM)
 SLIM_BIG = [f for f in _SLIM_FIELDS if f != "dt"]
@@ -133,7 +153,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     X, Y = p.MaxX, p.MaxY
     TX = min(-(-TX // 8) * 8, -(-X // 8) * 8)
     TY = min(-(-TY // 128) * 128, -(-Y // 128) * 128)
-    HX = -(-(HALO * K) // 4) * 4
+    HX = -(-(halo_depth(p) * K) // 4) * 4
     # Y halo: lane alignment forces HY = 64 between tiles, but when one tile
     # spans the whole Y extent the window edge IS the grid edge (the explode
     # pad's edge replication == the XLA path's edge-replicated shifts), so
@@ -142,7 +162,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     # lifts the 3K <= 64 temporal-blocking limit in Y.
     nby_pre = -(-Y // TY)
     HY = 0 if nby_pre == 1 else 64
-    assert K >= 1 and (HY == 0 or 3 * K <= HY), \
+    assert K >= 1 and (HY == 0 or halo_depth(p) * K <= HY), \
         "fuse_iters limited by the Y halo (64) when Y is tiled"
     nbx = -(-X // TX)
     nby = nby_pre

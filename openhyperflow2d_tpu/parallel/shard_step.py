@@ -35,8 +35,9 @@ from ..core.state import ChemTables, GridMeta, SolverParams, SolverState
 from ..core.static_ctx import build_static_ctx
 from ..core.step import (SlimState, StepAux, expand, gfc, make_aux, pass12,
                          shrink, _SLIM_FIELDS)
+from ..ops.pallas_step import halo_depth
 
-HALO = 3
+HALO = 3    # worst-case depth; the chunk builders use halo_depth(params)
 SLIM_BIG = [f for f in _SLIM_FIELDS if f != "dt"]
 # the optional non-uniform spacing maps are excluded: the sharded fast
 # paths support uniform meshes only (make_* guards below) and the absent
@@ -67,7 +68,7 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
     the same ablation done by hand, deeps2d_core.cpp:1336-1409)."""
     _require_uniform(params, "make_shard_chunk")
     p = params
-    H = HALO
+    H = halo_depth(params)
     n = mesh.shape["x"]
     X, Y = p.MaxX, p.MaxY
     px = (-X) % n
@@ -278,7 +279,7 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
     _require_uniform(params, "make_pallas_shard_chunk")
     p = params
     K = int(fuse_iters)
-    H = HALO * K
+    H = halo_depth(params) * K
     n = mesh.shape["x"]
     X, Y = p.MaxX, p.MaxY
     px = (-X) % n

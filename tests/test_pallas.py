@@ -192,3 +192,39 @@ def test_pallas_rms_excludes_tile_padding():
     a = np.asarray(ref.run_iters(3)["RMS"])
     b = np.asarray(pal.run_iters(3)["RMS"])
     assert np.abs(a - b).max() / np.abs(a).max() < 1e-3
+
+
+def test_halo_depth_selection():
+    """halo_depth: 2 on d2-free cases (deepest chain: center <- A/SrcAdd
+    at +-1 <- gradients at +-2), 3 when a d2*-NULL soft BC makes pass-1
+    average neighbor dSdx (core/step.py dXX)."""
+    from openhyperflow2d_tpu.ops.pallas_step import halo_depth
+    p2 = build_case(channel_deck(nx=32, ny=24)).params
+    assert not (p2.has_d2x or p2.has_d2y)
+    assert halo_depth(p2) == 2
+    d = channel_deck(nx=32, ny=24)
+    d.data["Contour1.Bound2.Cond"] = "NT_D2X_2D"
+    p3 = build_case(d).params
+    assert p3.has_d2x and halo_depth(p3) == 3
+
+
+def test_halo2_bitwise_vs_halo3(monkeypatch):
+    """On a d2-free deck the halo-2 kernel must be BITWISE identical to
+    the (over-provisioned) halo-3 kernel: the extra ring only feeds
+    values the center never depends on.  Walls+solid+heat deck so the
+    deepest chains (SrcAdd via the conjugate-heat shifts, turbulence
+    gradients) are all exercised."""
+    mk = lambda: reacting_rans_deck(48, 40, wall_bottom=True,  # noqa: E731
+                                    adiabatic=False, with_step=True)
+    states = {}
+    for h in ("2", "3"):
+        monkeypatch.setenv("HF2D_HALO", h)
+        s = Solver(build_case(mk()), use_pallas=True, pallas_tile=(16, 16),
+                   pallas_fuse=3)
+        d = s.run_iters(7)
+        states[h] = (s.state, np.asarray(d["RMS"]))
+    np.testing.assert_array_equal(states["2"][1], states["3"][1])
+    for f in ["S", "beta", "U", "V", "p", "Tg", "mu_t", "Q_conv"]:
+        a = np.asarray(getattr(states["3"][0], f))
+        b = np.asarray(getattr(states["2"][0], f))
+        np.testing.assert_array_equal(b, a, err_msg=f)
