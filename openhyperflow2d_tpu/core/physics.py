@@ -639,12 +639,19 @@ def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
     def syu(q):
         return jnp.concatenate([q[:, 1:], q[:, -1:]], axis=1)
 
+    # the 8 visit masks are static (meta-only): with a ctx they are
+    # precomputed (static_ctx._heat_visit_masks — also keeps i1 shifts
+    # out of the Pallas kernel, which Mosaic cannot lower)
+    if ctx is not None:
+        pres = (ctx.hv_xl, ctx.hv_yd, ctx.hv_yu, ctx.hv_xr)
+    else:
+        pres = (solid & sxl(wall), solid & syd(wall),
+                solid & syu(wall), solid & sxr(wall))
     visitors = []
-    for shift_in, d in ((sxl, p.dx),   # gas at I-1 (shift gas fields +x)
-                        (syd, p.dy),   # gas at J-1
-                        (syu, p.dy),   # gas at J+1
-                        (sxr, p.dx)):  # gas at I+1
-        present = solid & shift_in(wall)
+    for shift_in, d, present in ((sxl, p.dx, pres[0]),  # gas at I-1
+                                 (syd, p.dy, pres[1]),  # gas at J-1
+                                 (syu, p.dy, pres[2]),  # gas at J+1
+                                 (sxr, p.dx, pres[3])):  # gas at I+1
         c = -shift_in(lam_eff) * (Tg - shift_in(Tg)) / d
         visitors.append((present, c))
 
@@ -658,13 +665,15 @@ def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
     # solid direction wins; uses the solid's Q right after this gas node's
     # own write (q_after rank of that (solid, visitor) pair).
     src_e = state.SrcAdd[fl.i2d_RhoE]
-    down_solid = wall & syd(solid)
+    if ctx is not None:
+        down_solid, up_solid = ctx.hw_down, ctx.hw_up
+        left_solid, right_solid = ctx.hw_left, ctx.hw_right
+    else:
+        down_solid, up_solid = wall & syd(solid), wall & syu(solid)
+        left_solid, right_solid = wall & sxl(solid), wall & sxr(solid)
     src_e = jnp.where(down_solid, -dt_ * syd(q_after[2]) / p.dy, src_e)
-    up_solid = wall & syu(solid)
     src_e = jnp.where(up_solid, -dt_ * syu(q_after[1]) / p.dy, src_e)
-    left_solid = wall & sxl(solid)
     src_e = jnp.where(left_solid, -dt_ * sxl(q_after[3]) / p.dx, src_e)
-    right_solid = wall & sxr(solid)
     src_e = jnp.where(right_solid, -dt_ * sxr(q_after[0]) / p.dx, src_e)
 
     ne = fl.NUM_EQ

@@ -32,6 +32,52 @@ def iscond(ct, flag):
     return (ct & f) == f
 
 
+# edge-replicated CT shifts (uint32 — NOT the bool planes: i1 concats
+# fail Mosaic register-cast lowering, so the heat visit masks below are
+# derived by shifting the integer CT plane and testing bits afterwards)
+def _sxl(q):
+    return jnp.concatenate([q[:1, :], q[:-1, :]], axis=0)
+
+
+def _sxr(q):
+    return jnp.concatenate([q[1:, :], q[-1:, :]], axis=0)
+
+
+def _syd(q):
+    return jnp.concatenate([q[:, :1], q[:, :-1]], axis=1)
+
+
+def _syu(q):
+    return jnp.concatenate([q[:, 1:], q[:, -1:]], axis=1)
+
+
+def _heat_visit_masks(ct, solid, wall):
+    """The 8 conjugate-heat visit masks (deeps2d_core.cpp:2679-2833):
+    hv_* = solid node whose (xl/yd/yu/xr) neighbor is a wall GAS node;
+    hw_* = wall gas node whose (down/up/left/right) neighbor is solid.
+    ``wall`` is the wall_law|wall_ns plane; gas-ness (~solid) is applied
+    here exactly as calc_heat_on_wall_sources did inline."""
+    def wall_gas_of(c):
+        w = iscond(c, fl.CT_WALL_LAW_2D) | iscond(c, fl.CT_WALL_NO_SLIP_2D)
+        return w & ~iscond(c, fl.CT_SOLID_2D)
+
+    def solid_of(c):
+        return iscond(c, fl.CT_SOLID_2D)
+
+    ct_xl, ct_xr, ct_yd, ct_yu = _sxl(ct), _sxr(ct), _syd(ct), _syu(ct)
+    wall_gas = wall & ~solid
+    return {
+        "hv_xl": solid & wall_gas_of(ct_xl),
+        "hv_yd": solid & wall_gas_of(ct_yd),
+        "hv_yu": solid & wall_gas_of(ct_yu),
+        "hv_xr": solid & wall_gas_of(ct_xr),
+        "hw_down": wall_gas & solid_of(ct_yd),
+        "hw_up": wall_gas & solid_of(ct_yu),
+        "hw_left": wall_gas & solid_of(ct_xl),
+        "hw_right": wall_gas & solid_of(ct_xr),
+    }
+
+
 @dataclass
 class StaticCtx:
     """Static per-node planes consumed by the solver stages."""
@@ -105,6 +151,21 @@ class StaticCtx:
     # --- chemistry (deeps2d_core.cpp:4697-4780)
     react: jnp.ndarray    # active & ~CT_Y_CONST
 
+    # --- conjugate-heat visit masks (deeps2d_core.cpp:2679-2833): all 8
+    # are pure meta functions, precomputed so the kernel never shifts i1
+    # planes (bool concats fail Mosaic: 'Invalid vector register cast').
+    # hv_*: solid node with a wall gas neighbor in that direction
+    # (visitor order sxl, syd, syu, sxr = gas at I-1, J-1, J+1, I+1);
+    # hw_*: wall gas node with a solid neighbor in that direction.
+    hv_xl: jnp.ndarray
+    hv_yd: jnp.ndarray
+    hv_yu: jnp.ndarray
+    hv_xr: jnp.ndarray
+    hw_down: jnp.ndarray
+    hw_up: jnp.ndarray
+    hw_left: jnp.ndarray
+    hw_right: jnp.ndarray
+
 
 jax.tree_util.register_dataclass(
     StaticCtx, data_fields=[f for f in StaticCtx.__annotations__],
@@ -133,6 +194,8 @@ _CTX_BOOL_PLANES = [
     "m_prandtl", "m_keps", "m_sa", "m_smag", "kconst", "econst",
     "ewall", "sa_bc", "dydx_ok", "dydy_ok", "g_dydx", "g_dydy",
     "km", "em", "react",
+    "hv_xl", "hv_yd", "hv_yu", "hv_xr",
+    "hw_down", "hw_up", "hw_left", "hw_right",
 ]
 N_CTX_BITS = 9 * len(_CTX_BOOL_STACKS) + len(_CTX_BOOL_PLANES)
 N_CTX_WORDS = -(-N_CTX_BITS // 32)
@@ -243,6 +306,7 @@ def build_packed_ctx(meta, params):
         "km": active & (keps | sa), "em": active & keps,
         "react": active & ~iscond(ct, fl.CT_Y_CONST_2D),
     }
+    planes.update(_heat_visit_masks(ct, solid, wall_nsm | wall_lawm))
     bits = []
     for f in _CTX_BOOL_STACKS:
         bits.extend(stacks[f])
@@ -450,4 +514,4 @@ def build_static_ctx(meta, params, j0=0) -> StaticCtx:
         l_s=l_s.astype(dtype), l_min_s=l_min_s.astype(dtype),
         dydx_ok=dydx_ok, dydy_ok=dydy_ok,
         g_dydx=active & dydx_ok, g_dydy=active & dydy_ok, km=km, em=em,
-        react=react)
+        react=react, **_heat_visit_masks(ct, solid, wall))

@@ -51,7 +51,8 @@ def main():
             X = Y = size
             TX = min(-(-tx // 8) * 8, -(-X // 8) * 8)
             TY = min(-(-ty // 128) * 128, -(-Y // 128) * 128)
-            HX = -(-(3 * k) // 4) * 4
+            from openhyperflow2d_tpu.ops.pallas_step import halo_depth
+            HX = -(-(halo_depth(case.params) * k) // 4) * 4
             nby = -(-Y // TY)
             HY = 0 if nby == 1 else 64
             nbx = -(-X // TX)

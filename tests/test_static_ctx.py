@@ -47,7 +47,18 @@ DECKS = {
                                  turb_model=5, turb_ext_model=5,
                                  wall_bottom=True),
     "nrbc-d2-axisym": _nrbc_d2_axisym_deck,
+    # floating solid rect mid-stream: walls on all four faces, so every
+    # conjugate-heat visit-mask orientation (hv_*/hw_*) lights up
+    "rect-allsides": lambda: _floating_rect_deck(),
 }
+
+
+def _floating_rect_deck():
+    d = channel_deck(nx=48, ny=40, problem_type=1, turb_model=0,
+                     with_rect=True)
+    d.data["Rect1.Ystart"] = str(40 * 0.01 * 0.3)
+    d.data["isAdiabaticWall"] = "0"
+    return d
 
 
 def _prandtl_wall_law_deck():
@@ -103,8 +114,10 @@ def test_ctx_bit_layout_pinned():
         "m_prandtl", "m_keps", "m_sa", "m_smag", "kconst", "econst",
         "ewall", "sa_bc", "dydx_ok", "dydy_ok", "g_dydx", "g_dydy",
         "km", "em", "react",
+        "hv_xl", "hv_yd", "hv_yu", "hv_xr",
+        "hw_down", "hw_up", "hw_left", "hw_right",
     ]
-    assert N_CTX_BITS == 9 * 10 + 29 == 119
+    assert N_CTX_BITS == 9 * 10 + 37 == 127
     assert N_CTX_WORDS == 4
 
 
