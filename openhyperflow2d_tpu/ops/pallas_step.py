@@ -275,17 +275,32 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     # replication, == explode()'s mode="edge"), so real-node windows are
     # bitwise identical to the exploded staging.
     ctx_stream = persistent and os.environ.get("HF2D_CTXSTREAM", "1") == "1"
+    # case-static meta pruning: only stage the planes the kernel can
+    # statically read — every staged plane is DMA'd per block per tile
+    # whether consumed or not.  idXl..idYd feed the n1..n4 weights
+    # always; CT/TCT only feed the in-kernel decode (absent under ctx
+    # streaming); BGX/BGY/Uw/Vw only the fill wall branch; l_min only
+    # the turbulence length scales.  Pruned fields enter the in-kernel
+    # GridMeta as zeros, which the statically-absent consumers never
+    # read (the interpret-mode bitwise tests run the same pruning).
+    MB = ["idXl", "idXr", "idYu", "idYd"]
+    if not ctx_stream:
+        MB += ["CT", "TCT"]
+    if p.has_walls:
+        MB += ["BGX", "BGY", "Uw", "Vw"]
+    if p.models:
+        MB += ["l_min"]
     if persistent:
         def _pad_blk(a):
             return jnp.pad(a, [(0, 0)] * (a.ndim - 2)
                            + [(0, Xp - X), (0, Yp - Y)])
 
-        meta_ctr = {f: _pad_blk(getattr(meta, f)) for f in META_BIG}
-        meta_xs = {f: build_xstrips(meta_ctr[f]) for f in META_BIG}
-        meta_ys = ({f: build_ystrips(meta_ctr[f]) for f in META_BIG}
+        meta_ctr = {f: _pad_blk(getattr(meta, f)) for f in MB}
+        meta_xs = {f: build_xstrips(meta_ctr[f]) for f in MB}
+        meta_ys = ({f: build_ystrips(meta_ctr[f]) for f in MB}
                    if HY else None)
     else:
-        meta_ex = {f: explode(getattr(meta, f)) for f in META_BIG}
+        meta_ex = {f: explode(getattr(meta, f)) for f in MB}
     if ctx_stream:
         # decode once per CHUNK at XLA level, stream the bit-packed bool
         # planes (static_ctx.build_packed_ctx) like the meta planes; the
@@ -307,7 +322,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     # body lets Mosaic fold the Src*dt term (and saves the input DMA)
     has_src = p.has_ext_src
     nS = len(SLIM_BIG)
-    nM = len(META_BIG)
+    nM = len(MB)
     # persistent staging: per slim/meta leaf the kernel gets [center
     # block, x-strip block, y-strip block] instead of one pre-exploded
     # window
@@ -368,11 +383,19 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             if persistent:
                 mvals = {f: assemble(meta_refs[k], mxs_refs[k],
                                      mys_refs[k] if HY else None)
-                         for k, f in enumerate(META_BIG)}
+                         for k, f in enumerate(MB)}
             else:
                 mvals = {f: meta_refs[k][...]
-                         for k, f in enumerate(META_BIG)}
+                         for k, f in enumerate(MB)}
             zi32 = jnp.zeros((WX, WY), jnp.int32)
+            # pruned meta planes: zeros of the right dtype (their
+            # consumers are statically absent for this case)
+            meta_dt = {"CT": jnp.uint32, "TCT": jnp.uint32,
+                       "BGX": dtype, "BGY": dtype, "Uw": dtype,
+                       "Vw": dtype, "l_min": dtype}
+            for f, dt_f in meta_dt.items():
+                if f not in mvals:
+                    mvals[f] = jnp.zeros((WX, WY), dt_f)
             meta_blk = GridMeta(NGX=zi32.astype(jnp.int8),
                                 NGY=zi32.astype(jnp.int8),
                                 i_wall=zi32, j_wall=zi32, **mvals)
@@ -522,13 +545,13 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                        + [strip_spec_for(f, 2 * HX, WY) for f in SLIM_BIG]
                        + ([strip_spec_for(f, TX, 2 * HY)
                            for f in SLIM_BIG] if HY else []))
-            meta_in = ([strip_spec_for(f, TX, TY) for f in META_BIG]
-                       + [strip_spec_for(f, 2 * HX, WY) for f in META_BIG]
+            meta_in = ([strip_spec_for(f, TX, TY) for f in MB]
+                       + [strip_spec_for(f, 2 * HX, WY) for f in MB]
                        + ([strip_spec_for(f, TX, 2 * HY)
-                           for f in META_BIG] if HY else []))
+                           for f in MB] if HY else []))
         else:
             slim_in = [in_spec_for(f, "slim") for f in SLIM_BIG]
-            meta_in = [in_spec_for(f, "meta") for f in META_BIG]
+            meta_in = [in_spec_for(f, "meta") for f in MB]
         if ctx_stream:
             def ctx_spec(bx, by):
                 return pl.BlockSpec((N_CTX_WORDS, bx, by),
@@ -640,12 +663,12 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             else:
                 slim_ins = [explode(getattr(slim, f)) for f in SLIM_BIG]
             if persistent:
-                meta_ins = ([meta_ctr[f] for f in META_BIG]
-                            + [meta_xs[f] for f in META_BIG]
-                            + ([meta_ys[f] for f in META_BIG]
+                meta_ins = ([meta_ctr[f] for f in MB]
+                            + [meta_xs[f] for f in MB]
+                            + ([meta_ys[f] for f in MB]
                                if HY else []))
             else:
-                meta_ins = [meta_ex[f] for f in META_BIG]
+                meta_ins = [meta_ex[f] for f in MB]
             if ctx_stream:
                 ctx_ins = ([ctx_pk, ctx_pk_xs]
                            + ([ctx_pk_ys] if HY else []))
