@@ -412,13 +412,20 @@ def solver_step(state: SolverState, meta: GridMeta, params: SolverParams,
 # ---------------------------------------------------------------------------
 @dataclass
 class SlimState:
-    """Minimal inner-loop carry (~33 planes vs ~111 for SolverState).
+    """Minimal inner-loop carry (31 planes vs ~111 for SolverState).
 
     Everything else (fluxes A/B/F, dSdx/dSdy, gradients, SrcAdd, Q_conv) is
     a pure function of these fields within one rotated iteration and is
     recomputed in-loop — the main HBM-traffic reduction vs carrying the full
     node state, mirroring how the reference's per-node kernel recomputes
     fluxes rather than persisting them.
+
+    Round-4 diet: ``lam_t`` left the carry (FillNode2D unconditionally
+    recomputes it as mu_t*CP under SM_NS, hyper_flow_node.hpp:494; under
+    other solver modes it never changes in-loop, so it enters as a
+    chunk-constant) and ``y_plus`` left it too (only the per-outer-cycle
+    recalc writes it, deeps2d_core.cpp:2364-2388 — constant within a
+    chunk, staged read-only).
     """
 
     S: jnp.ndarray
@@ -433,8 +440,6 @@ class SlimState:
     lam: jnp.ndarray
     mu: jnp.ndarray
     mu_t: jnp.ndarray
-    lam_t: jnp.ndarray
-    y_plus: jnp.ndarray
     dt: jnp.ndarray
 
 
@@ -449,12 +454,21 @@ def shrink(state: SolverState) -> SlimState:
     return SlimState(**{f: getattr(state, f) for f in _SLIM_FIELDS})
 
 
-def expand(slim: SlimState, params: SolverParams, src_ext) -> SolverState:
+def expand(slim: SlimState, params: SolverParams, src_ext,
+           y_plus=None, lam_t=None) -> SolverState:
     """SlimState -> SolverState with recomputable fields zeroed.
 
     The zero defaults are exact: dSdx/dSdy/gradients of never-updated nodes
     are 0 by construction, SrcAdd/Q_conv are rebuilt every iteration, and
     A/B/F are produced by the in-loop fill before any consumer reads them.
+
+    ``y_plus``: chunk-constant plane (zeros when the case's turbulence
+    closure never reads it — TEM_vanDriest / TEM_k_eps_Chien only; chunk
+    callers restore the true plane on output).  ``lam_t``: None under
+    SM_NS reconstructs mu_t*CP — the invariant FillNode2D re-establishes
+    every iteration (hyper_flow_node.hpp:494), so the value only matters
+    through fill's guard fallback on rho==0 / CP<R degenerate nodes;
+    non-NS callers pass the true chunk-constant plane through.
     """
     ne = fl.NUM_EQ
     X, Y = slim.S.shape[-2:]
@@ -462,13 +476,29 @@ def expand(slim: SlimState, params: SolverParams, src_ext) -> SolverState:
     z9 = jnp.zeros((ne, X, Y), dt)
     z4 = jnp.zeros((4, X, Y), dt)
     z1 = jnp.zeros((X, Y), dt)
+    if lam_t is None:
+        lam_t = slim.mu_t * slim.CP
+    if y_plus is None:
+        y_plus = z1
     kw = {f: getattr(slim, f) for f in _SLIM_FIELDS}
     return SolverState(
         A=z9, B=z9, F=z9, dSdx=z9, dSdy=z9,
         Src=src_ext, SrcAdd=z9,
         droYdx=z4, droYdy=z4,
         dUdx=z1, dUdy=z1, dVdx=z1, dVdy=z1, dTdx=z1, dTdy=z1,
-        dkdx=z1, dkdy=z1, depsdx=z1, depsdy=z1, Q_conv=z1, **kw)
+        dkdx=z1, dkdy=z1, depsdx=z1, depsdy=z1, Q_conv=z1,
+        lam_t=lam_t, y_plus=y_plus, **kw)
+
+
+def needs_y_plus(params) -> bool:
+    """True iff this case's turbulence closure reads y+ in the inner loop
+    (van Driest damping, hyper_flow_node.hpp:616-618, or Chien's f_mu /
+    L_eps, 700-714).  All other closures never touch it, so the fast
+    paths skip staging the plane entirely."""
+    return (("prandtl" in params.models
+             and params.tem == fl.TEM_vanDriest)
+            or ("keps" in params.models
+                and params.tem == fl.TEM_k_eps_Chien))
 
 
 def make_aux(beta_tab, cfl_tab, turb_start, it, dtype):
@@ -532,9 +562,12 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
             # lets XLA fold the Src*dt term of pass 1 away entirely
             src_ext = jnp.zeros((fl.NUM_EQ, params.MaxX, params.MaxY),
                                 dtype)
+        # chunk-constant planes outside the scan carry (see SlimState)
+        yp_const = state.y_plus if needs_y_plus(params) else None
+        lam_const = None if params.sm == fl.SM_NS else state.lam_t
 
         def rotated(slim, k):
-            full = expand(slim, params, src_ext)
+            full = expand(slim, params, src_ext, yp_const, lam_const)
             out, dt_new, unstable = gfc(full, mt, params, chem, aux_at(k),
                                         ctx=ctx)
             out = SolverState(**{**out.__dict__, "dt": dt_new})
@@ -560,12 +593,16 @@ def make_fast_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
             slim, diags = jax.lax.scan(rotated, slim, ks)
         else:
             diags = None
-        # epilogue: final iteration's gradients/fill/chem
-        full = expand(slim, params, src_ext)
+        # epilogue: final iteration's gradients/fill/chem; the true
+        # y_plus plane (untouched by the inner loop) is restored on the
+        # output so swap/output files stay byte-faithful even for
+        # closures that never read it
+        full = expand(slim, params, src_ext, yp_const, lam_const)
         out, dt_new, unstable_last = gfc(full, mt, params, chem,
                                          aux_at(start_iter + n_iters - 1),
                                          ctx=ctx)
-        out = SolverState(**{**out.__dict__, "dt": dt_new})
+        out = SolverState(**{**out.__dict__, "dt": dt_new,
+                             "y_plus": state.y_plus})
 
         def lead(a, b):
             return jnp.concatenate([a[None], b], 0) if b is not None \

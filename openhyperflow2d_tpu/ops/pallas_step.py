@@ -68,8 +68,8 @@ from ..core.physics import node_masks, _safe_div
 from ..core.state import ChemTables, GridMeta, SolverParams, SolverState
 from ..core.static_ctx import (N_CTX_WORDS, build_packed_ctx,
                                build_static_ctx, unpack_static_ctx)
-from ..core.step import (SlimState, StepAux, expand, gfc, make_aux, pass12,
-                         shrink, _SLIM_FIELDS)
+from ..core.step import (SlimState, StepAux, expand, gfc, make_aux,
+                         needs_y_plus, pass12, shrink, _SLIM_FIELDS)
 
 HALO = 3    # worst-case per-iteration dependency depth (d2-BC cases)
 
@@ -107,7 +107,7 @@ def _default_vmem(vmem_limit_bytes):
 def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                tile, K, vmem_limit_bytes, interior_x=None,
                red_sum=None, red_max=None, red_min=None, k_loop=None,
-               persistent=False):
+               persistent=False, y_plus=None, lam_t_const=None):
     """Build the fused-kernel machinery; returns a namespace with
     ``make_block`` / ``aux_at`` / ``scan_dt`` / ``explode`` / ``crop`` /
     ``refresh``.
@@ -290,17 +290,29 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         MB += ["BGX", "BGY", "Uw", "Vw"]
     if p.models:
         MB += ["l_min"]
+    # chunk-constant planes that left the slim carry (read-only inputs,
+    # staged exactly like meta): y_plus only when the closure reads it;
+    # lam_t only outside SM_NS (where fill does not recompute it)
+    stage_src = {f: getattr(meta, f) for f in MB}
+    if needs_y_plus(p):
+        assert y_plus is not None, "y_plus plane required for this case"
+        MB = MB + ["y_plus"]
+        stage_src["y_plus"] = y_plus
+    if p.sm != fl.SM_NS:
+        assert lam_t_const is not None
+        MB = MB + ["lam_t"]
+        stage_src["lam_t"] = lam_t_const
     if persistent:
         def _pad_blk(a):
             return jnp.pad(a, [(0, 0)] * (a.ndim - 2)
                            + [(0, Xp - X), (0, Yp - Y)])
 
-        meta_ctr = {f: _pad_blk(getattr(meta, f)) for f in MB}
+        meta_ctr = {f: _pad_blk(stage_src[f]) for f in MB}
         meta_xs = {f: build_xstrips(meta_ctr[f]) for f in MB}
         meta_ys = ({f: build_ystrips(meta_ctr[f]) for f in MB}
                    if HY else None)
     else:
-        meta_ex = {f: explode(getattr(meta, f)) for f in MB}
+        meta_ex = {f: explode(stage_src[f]) for f in MB}
     if ctx_stream:
         # decode once per CHUNK at XLA level, stream the bit-packed bool
         # planes (static_ctx.build_packed_ctx) like the meta planes; the
@@ -387,6 +399,9 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             else:
                 mvals = {f: meta_refs[k][...]
                          for k, f in enumerate(MB)}
+            # chunk-constant windows that are not GridMeta fields
+            yp_w = mvals.pop("y_plus", None)
+            lam_w = mvals.pop("lam_t", None)
             zi32 = jnp.zeros((WX, WY), jnp.int32)
             # pruned meta planes: zeros of the right dtype (their
             # consumers are statically absent for this case)
@@ -447,7 +462,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                                 cfl_scen=scal_ref[base + 4].astype(dtype),
                                 is_mu_t_iter=scal_ref[base + 5] > 0.5)
 
-                full = expand(slim, p_blk, src_w)
+                full = expand(slim, p_blk, src_w, yp_w, lam_w)
                 out_state, _, _ = gfc(full, meta_blk, p_blk, chem_blk,
                                       aux_g, j0=j0, return_fields=True,
                                       ctx=ctx_blk)
@@ -744,8 +759,11 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
     def chunk(state: SolverState, n_iters: int, start_iter, src_ext,
               meta_arg: GridMeta = None):
         mt = meta if meta_arg is None else meta_arg
+        yp_const = state.y_plus if needs_y_plus(p) else None
+        lam_const = None if p.sm == fl.SM_NS else state.lam_t
         M = _machinery(mt, p, chem, beta_tab, cfl_tab, turb_start, tile,
-                       K, vmem, persistent=persistent)
+                       K, vmem, persistent=persistent, y_plus=yp_const,
+                       lam_t_const=lam_const)
         block_k = M.make_block(K)
         ctx_g = build_static_ctx(mt, p)
         if not p.has_ext_src:
@@ -785,11 +803,12 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         if persistent:
             slim = SlimState(**{f: M.crop(getattr(slim, f))
                                 for f in SLIM_BIG}, dt=slim.dt)
-        full = expand(slim, p, src_ext)
+        full = expand(slim, p, src_ext, yp_const, lam_const)
         out, dt_new, unstable_last = gfc(full, mt, p, chem,
                                          M.aux_at(start_iter + n_iters - 1),
                                          ctx=ctx_g)
-        out = SolverState(**{**out.__dict__, "dt": dt_new})
+        out = SolverState(**{**out.__dict__, "dt": dt_new,
+                             "y_plus": state.y_plus})
 
         def lead(a, b):
             return jnp.concatenate([a[None], b], 0) if b is not None \

@@ -33,8 +33,8 @@ from ..core import flags as fl
 from ..core.physics import _safe_div
 from ..core.state import ChemTables, GridMeta, SolverParams, SolverState
 from ..core.static_ctx import build_static_ctx
-from ..core.step import (SlimState, StepAux, expand, gfc, make_aux, pass12,
-                         shrink, _SLIM_FIELDS)
+from ..core.step import (SlimState, StepAux, expand, gfc, make_aux,
+                         needs_y_plus, pass12, shrink, _SLIM_FIELDS)
 from ..ops.pallas_step import halo_depth
 
 HALO = 3    # worst-case depth; the chunk builders use halo_depth(params)
@@ -101,12 +101,12 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
     def crop(a):
         return a[..., H:-H, :]
 
-    def body(meta_ext, src_ext_loc, ctx_ext, slim, k):
+    def body(meta_ext, src_ext_loc, ctx_ext, yp_ext, lam_ext, slim, k):
         aux_g = aux_at(k)
         aux_p = aux_at(k + 1)
         slim_ext = SlimState(**{f: ext(getattr(slim, f))
                                 for f in SLIM_BIG}, dt=slim.dt)
-        full = expand(slim_ext, p_loc, src_ext_loc)
+        full = expand(slim_ext, p_loc, src_ext_loc, yp_ext, lam_ext)
         out, dt_field, unstable = gfc(full, meta_ext, p_loc, chem, aux_g,
                                       j0=0, return_fields=True, ctx=ctx_ext)
         # reduce the pre-chemistry per-node dt over the shard interior, then
@@ -147,8 +147,8 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
                 "unstable": uns > 0}
         return new_slim, diag
 
-    def sharded_inner(meta_loc_tree, src_loc, slim0_tree, start_iter,
-                      n_iters):
+    def sharded_inner(meta_loc_tree, src_loc, slim0_tree, yp_loc,
+                      lam_loc, start_iter, n_iters):
         meta_loc = GridMeta(**dict(zip(META_FIELDS, meta_loc_tree)))
         slim0 = SlimState(**dict(zip(_SLIM_FIELDS, slim0_tree)))
         meta_ext = GridMeta(**{
@@ -157,10 +157,15 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
                                     "idYu", "idYd")))
             for f in META_FIELDS})
         src_ext_loc = ext(src_loc)
+        # chunk-constant planes outside the scan carry (core/step.py
+        # SlimState diet): halo-extended once, reused every iteration
+        yp_ext = ext(yp_loc) if needs_y_plus(p) else None
+        lam_ext = ext(lam_loc) if p.sm != fl.SM_NS else None
         ctx_ext = build_static_ctx(meta_ext, p_loc)
         ks = start_iter + jnp.arange(n_iters - 1)
         slim_f, diags = lax.scan(partial(body, meta_ext, src_ext_loc,
-                                         ctx_ext), slim0, ks)
+                                         ctx_ext, yp_ext, lam_ext),
+                                 slim0, ks)
         return tuple(getattr(slim_f, f) for f in _SLIM_FIELDS), diags
 
     spec_x = P(None, "x", None)
@@ -194,6 +199,8 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
                                      "beta": beta_c}))
         slim_pad = SlimState(**{f: _pad_x(getattr(slim, f), px)
                                 for f in SLIM_BIG}, dt=slim.dt)
+        yp_pad = _pad_x(state.y_plus, px)
+        lam_pad = _pad_x(state.lam_t, px)
         if n_iters > 1:
             inner = shard_map(
                 partial(sharded_inner, n_iters=n_iters),
@@ -201,23 +208,28 @@ def make_shard_chunk(meta: GridMeta, params: SolverParams, chem: ChemTables,
                 in_specs=(tuple(spec_for(a) for a in meta_leaves),
                           spec_x,
                           tuple(in_spec_for_slim(f) for f in _SLIM_FIELDS),
+                          spec_x2, spec_x2,
                           P()),
                 out_specs=out_specs,
                 check_vma=False)
             slim_leaves, diags = inner(
                 tuple(meta_leaves), src_pad,
                 tuple(getattr(slim_pad, f) for f in _SLIM_FIELDS),
+                yp_pad, lam_pad,
                 start_iter)
             slim_pad = SlimState(**dict(zip(_SLIM_FIELDS, slim_leaves)))
         else:
             diags = None
         slim = SlimState(**{f: getattr(slim_pad, f)[..., :X, :]
                             for f in SLIM_BIG}, dt=slim_pad.dt)
-        full = expand(slim, p, src_ext)
+        yp_const = state.y_plus if needs_y_plus(p) else None
+        lam_const = None if p.sm == fl.SM_NS else state.lam_t
+        full = expand(slim, p, src_ext, yp_const, lam_const)
         out, dt_new, unstable_last = gfc(full, meta, p, chem,
                                          aux_at(start_iter + n_iters - 1),
                                          ctx=ctx_g)
-        out = SolverState(**{**out.__dict__, "dt": dt_new})
+        out = SolverState(**{**out.__dict__, "dt": dt_new,
+                             "y_plus": state.y_plus})
 
         def lead(a, b):
             return jnp.concatenate([a[None], b], 0) if b is not None \
@@ -317,8 +329,8 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
     def crop(a):
         return a[..., H:H + X_loc, :]
 
-    def sharded_inner(meta_leaves, src_loc, slim_leaves, start_iter,
-                      n_iters):
+    def sharded_inner(meta_leaves, src_loc, slim_leaves, yp_loc,
+                      lam_loc, start_iter, n_iters):
         meta_loc = GridMeta(**dict(zip(META_FIELDS, meta_leaves)))
         slim0 = SlimState(**dict(zip(_SLIM_FIELDS, slim_leaves)))
         meta_ext = GridMeta(**{
@@ -326,12 +338,15 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                    zero_edge=(f in ("CT", "TCT", "idXl", "idXr",
                                     "idYu", "idYd")))
             for f in META_FIELDS})
+        yp_ext = ext(yp_loc) if needs_y_plus(p) else None
+        lam_ext = ext(lam_loc) if p.sm != fl.SM_NS else None
         M = _machinery(
             meta_ext, p_loc, chem, beta_tab, cfl_tab, turb_start,
             tile, K, vmem, interior_x=(H, H + X_loc),
             red_sum=lambda x: lax.psum(x, "x"),
             red_max=lambda x: lax.pmax(x, "x"),
-            red_min=lambda x: lax.pmin(x, "x"))
+            red_min=lambda x: lax.pmin(x, "x"),
+            y_plus=yp_ext, lam_t_const=lam_ext)
         make_block = M.make_block
         src_ex = M.explode(ext(src_loc)) if p.has_ext_src else None
 
@@ -365,13 +380,15 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                                   diags, d2))
         return tuple(getattr(slim, f) for f in _SLIM_FIELDS), diags
 
-    def sharded_inner_overlap(meta_leaves, src_loc, slim_leaves, start_iter,
-                              n_iters):
+    def sharded_inner_overlap(meta_leaves, src_loc, slim_leaves, yp_loc,
+                              lam_loc, start_iter, n_iters):
         """Isend/Irecv -> work -> Wait variant: XLA edge strips first,
         ppermute their fresh boundary columns, interior kernel underneath
         (see the ``overlap`` paragraph in the factory docstring)."""
         meta_loc = GridMeta(**dict(zip(META_FIELDS, meta_leaves)))
         slim0 = SlimState(**dict(zip(_SLIM_FIELDS, slim_leaves)))
+        yp_ext = ext(yp_loc) if needs_y_plus(p) else None
+        lam_ext = ext(lam_loc) if p.sm != fl.SM_NS else None
         meta_ext = GridMeta(**{
             f: ext(getattr(meta_loc, f),
                    zero_edge=(f in ("CT", "TCT", "idXl", "idXr",
@@ -381,13 +398,13 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
         #              strip's replicated far edge after K iterations
 
         def eL(a):
-            return a[..., :H3, :]
+            return a[..., :H3, :] if a is not None else None
 
         def eR(a):
-            return a[..., -H3:, :]
+            return a[..., -H3:, :] if a is not None else None
 
         def mid(a):
-            return a[..., H:H + X_loc, :]
+            return a[..., H:H + X_loc, :] if a is not None else None
 
         meta_eL = GridMeta(**{f: eL(getattr(meta_ext, f))
                               for f in META_FIELDS})
@@ -402,7 +419,8 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
         M_int = _machinery(meta_int, p_int, chem, beta_tab, cfl_tab,
                            turb_start, tile, K, vmem,
                            interior_x=(H, X_loc - H),
-                           red_min=lambda x: lax.pmin(x, "x"))
+                           red_min=lambda x: lax.pmin(x, "x"),
+                           y_plus=mid(yp_ext), lam_t_const=mid(lam_ext))
         src_ext_loc = ext(src_loc)
         src_int_ex = (M_int.explode(mid(src_ext_loc)) if p.has_ext_src
                       else None)
@@ -415,7 +433,8 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
             # drift at the 1e-7 level
             return jnp.asarray(v).astype(jnp.float32).astype(dtype)
 
-        def edge_block(KK, sl, meta_e, ctx_e, src_e, kbase, dt_k):
+        def edge_block(KK, sl, meta_e, ctx_e, src_e, yp_e, lam_e,
+                       kbase, dt_k):
             """KK rotated iterations of the XLA stage functions on one
             3K-wide strip; returns (carry, raw partials over the H fresh
             boundary columns [H, 2H)) — the same per-iteration math the
@@ -432,7 +451,7 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                 aux_p = StepAux(beta_scen=f32r(ap.beta_scen),
                                 cfl_scen=f32r(ap.cfl_scen),
                                 is_mu_t_iter=ap.is_mu_t_iter)
-                full = expand(carry, p_edge, src_e)
+                full = expand(carry, p_edge, src_e, yp_e, lam_e)
                 out, _, uns_f = gfc(full, meta_e, p_edge, chem, aux_g,
                                     j0=0, return_fields=True, ctx=ctx_e)
                 out = SolverState(**{**out.__dict__, "dt": f32r(dt_k)})
@@ -477,11 +496,13 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                 sL, rL = edge_block(
                     KK, SlimState(**{f: eL(getattr(slim_c, f))
                                      for f in SLIM_BIG}, dt=dt_k),
-                    meta_eL, ctx_eL, src_eL, kbase, dt_k)
+                    meta_eL, ctx_eL, src_eL, eL(yp_ext), eL(lam_ext),
+                    kbase, dt_k)
                 sR, rR = edge_block(
                     KK, SlimState(**{f: eR(getattr(slim_c, f))
                                      for f in SLIM_BIG}, dt=dt_k),
-                    meta_eR, ctx_eR, src_eR, kbase, dt_k)
+                    meta_eR, ctx_eR, src_eR, eR(yp_ext), eR(lam_ext),
+                    kbase, dt_k)
                 new_l = {f: getattr(sL, f)[..., H:2 * H, :]
                          for f in SLIM_BIG}
                 new_r = {f: getattr(sR, f)[..., H:2 * H, :]
@@ -570,6 +591,8 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                                      "beta": beta_c}))
         slim_pad = SlimState(**{f: _pad_x(getattr(slim, f), px)
                                 for f in SLIM_BIG}, dt=slim.dt)
+        yp_pad = _pad_x(state.y_plus, px)
+        lam_pad = _pad_x(state.lam_t, px)
         if n_iters > 1:
             inner = shard_map(
                 partial(sharded_inner_overlap if overlap
@@ -578,23 +601,28 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                 in_specs=(tuple(spec_for(a) for a in meta_leaves),
                           spec_x,
                           tuple(in_spec_for_slim(f) for f in _SLIM_FIELDS),
+                          spec_x2, spec_x2,
                           P()),
                 out_specs=out_specs,
                 check_vma=False)
             slim_leaves, diags = inner(
                 tuple(meta_leaves), src_pad,
                 tuple(getattr(slim_pad, f) for f in _SLIM_FIELDS),
+                yp_pad, lam_pad,
                 start_iter)
             slim_pad = SlimState(**dict(zip(_SLIM_FIELDS, slim_leaves)))
         else:
             diags = None
         slim = SlimState(**{f: getattr(slim_pad, f)[..., :X, :]
                             for f in SLIM_BIG}, dt=slim_pad.dt)
-        full = expand(slim, p, src_ext)
+        yp_const = state.y_plus if needs_y_plus(p) else None
+        lam_const = None if p.sm == fl.SM_NS else state.lam_t
+        full = expand(slim, p, src_ext, yp_const, lam_const)
         out, dt_new, unstable_last = gfc(full, meta, p, chem,
                                          aux_at(start_iter + n_iters - 1),
                                          ctx=ctx_g)
-        out = SolverState(**{**out.__dict__, "dt": dt_new})
+        out = SolverState(**{**out.__dict__, "dt": dt_new,
+                             "y_plus": state.y_plus})
 
         def lead(a, b):
             return jnp.concatenate([a[None], b], 0) if b is not None \
