@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--iters", type=int, default=33)   # 33-1 = 4 K-blocks
     ap.add_argument("--walls", action="store_true")
     ap.add_argument("--limit", type=float, default=2e-2)
+    ap.add_argument("--cfl", type=float, default=0.1,
+                    help="default 0.1: the bench deck's 0.25 is "
+                    "transiently Tg<0-unstable at 512^2 from iteration "
+                    "4 on the XLA path too (impulsive fuel/ox start) — "
+                    "the artifact wants a stable trajectory")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +45,7 @@ def main():
     from openhyperflow2d_tpu.solver.runner import Solver
 
     def mk():
-        deck = reacting_rans_deck(args.size, args.size,
+        deck = reacting_rans_deck(args.size, args.size, cfl=args.cfl,
                                   wall_bottom=args.walls,
                                   adiabatic=not args.walls,
                                   with_step=args.walls)
@@ -54,7 +59,8 @@ def main():
     ref = Solver(mk())
     dr = ref.run_iters(args.iters)
 
-    assert not np.asarray(dp["unstable"]).any()
+    uns_p = bool(np.asarray(dp["unstable"]).any())
+    uns_r = bool(np.asarray(dr["unstable"]).any())
     devs = {}
     for f in ["S", "U", "V", "p", "Tg", "mu_t"]:
         a = np.asarray(getattr(ref.state, f))
@@ -65,10 +71,12 @@ def main():
                    / np.asarray(dr["dt_used"])[-1])
     worst = max(devs.values())
     ok = worst < args.limit
+    ok = ok and not uns_p and not uns_r
     print(json.dumps({
         "config": "K=8 128x256 persistent ctx-stream"
                   + (" walls+heat" if args.walls else ""),
-        "size": args.size, "iters": args.iters,
+        "size": args.size, "iters": args.iters, "cfl": args.cfl,
+        "unstable": {"pallas": uns_p, "xla": uns_r},
         "max_rel_dev": {k: round(v, 6) for k, v in devs.items()},
         "dt_rel_dev_last": round(dt_rel, 6),
         "limit": args.limit, "pass": ok}))
