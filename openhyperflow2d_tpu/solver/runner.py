@@ -117,17 +117,22 @@ class Solver:
                 fuse_iters=getattr(self, "pallas_fuse", 1))
         probe_idx = tuple(self._probe_index(mp.x, mp.y)
                           for mp in self.case.monitor_points)
-        # meta always as a runtime argument: closing over it bakes the
-        # GridMeta AND the decoded StaticCtx planes into the module as
-        # constants, whose serialized size exceeds the remote-compile
-        # request limit at 4096^2 (HTTP 413) — same reason the Pallas
-        # path already passes it (and required under multi-process)
-        self._pass_meta = True
+        # Large grids pass meta as a runtime argument: closing over it
+        # bakes the GridMeta AND the decoded StaticCtx planes into the
+        # module as constants, whose serialized size exceeds the
+        # remote-compile request limit at 4096^2 (HTTP 413).  Small
+        # grids keep the baked form: recomputing the ctx in-graph lets
+        # the compiler reassociate its arithmetic, which perturbs
+        # results at the ulp level — the validation-scale tests pin the
+        # baked path's exact trajectories.
+        big = self.params.MaxX * self.params.MaxY >= (1 << 22)   # >= 2048^2
+        if big:
+            self._pass_meta = True
         return make_fast_chunk(
             self.meta, self.params, self.chem,
             (self.beta_xs, self.beta_ys), (self.cfl_xs, self.cfl_ys),
             self.params.TurbStartIter, probe_idx=probe_idx,
-            meta_as_arg=True)
+            meta_as_arg=getattr(self, "_multihost", False) or big)
 
     def set_sources(self, src):
         """Update the volumetric source field (SetSources2D re-application
