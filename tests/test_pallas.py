@@ -228,3 +228,58 @@ def test_halo2_bitwise_vs_halo3(monkeypatch):
         a = np.asarray(getattr(states["3"][0], f))
         b = np.asarray(getattr(states["2"][0], f))
         np.testing.assert_array_equal(b, a, err_msg=f)
+
+
+def test_pallas_euler_lam_t_const_path():
+    """Euler decks (sm != SM_NS): fill does NOT recompute lam_t, so the
+    carry diet stages it as a chunk-constant plane — exercise that path
+    through the fused kernel and pin bitwise equality with the XLA path
+    on a uniform stream (stationary dt => no dt-lag)."""
+    mk = lambda: freestream_deck(problem_type=0, nx=48, ny=32)  # noqa
+    ref = Solver(build_case(mk()))
+    pal = Solver(build_case(mk()), use_pallas=True, pallas_tile=(16, 16),
+                 pallas_fuse=3)
+    assert ref.params.sm != 1    # SM_NS == 1: this is the Euler path
+    ref.run_iters(7)
+    d = pal.run_iters(7)
+    assert not np.asarray(d["unstable"]).any()
+    for f in ["S", "beta", "U", "V", "p", "Tg", "lam_t", "y_plus"]:
+        a = np.asarray(getattr(ref.state, f))
+        b = np.asarray(getattr(pal.state, f))
+        np.testing.assert_array_equal(b, a, err_msg=f)
+
+
+def test_pallas_yplus_staged_path():
+    """Closures that read y+ in the inner loop (Chien here) stage the
+    chunk-constant y_plus plane into the kernel (needs_y_plus path of
+    the carry diet).  Make the plane non-trivial via the per-cycle
+    recalc, then pin the fused path against the XLA path within the
+    dt-lag envelope."""
+    from openhyperflow2d_tpu.core import flags as fl
+    from openhyperflow2d_tpu.core.step import needs_y_plus
+
+    def mk():
+        d = channel_deck(nx=48, ny=40, problem_type=1, turb_model=4,
+                         turb_ext_model=fl.TEM_k_eps_Chien,
+                         wall_bottom=True, cfl=0.1)
+        return build_case(d)
+
+    ref = Solver(mk())
+    pal = Solver(mk(), use_pallas=True, pallas_tile=(16, 16),
+                 pallas_fuse=2)
+    assert needs_y_plus(ref.params)
+    for s in (ref, pal):
+        s.run_iters(3)
+        s.recalc_y_plus()
+    assert np.abs(np.asarray(ref.state.y_plus)).max() > 0
+    yp_before = np.asarray(pal.state.y_plus).copy()
+    d = pal.run_iters(5)
+    ref.run_iters(5)
+    assert not np.asarray(d["unstable"]).any()
+    # the chunk must pass its own y_plus plane through untouched
+    np.testing.assert_array_equal(np.asarray(pal.state.y_plus), yp_before)
+    for f in ["S", "U", "p", "Tg", "mu_t"]:
+        a = np.asarray(getattr(ref.state, f))
+        b = np.asarray(getattr(pal.state, f))
+        rel = np.abs(a - b) / (np.abs(a).max() + 1e-30)
+        assert rel.max() < 5e-3, (f, rel.max())
