@@ -29,6 +29,17 @@ def patch_deck(src, dst, nmax=13, noutstep=12):
     txt = re.sub(r"<data/Nmax=\d+>", f"<data/Nmax={nmax}>", txt)
     txt = re.sub(r"<data/NOutStep=\d+>", f"<data/NOutStep={noutstep}>",
                  txt)
+    # the shipped TriplePoint deck predates several required keys: the
+    # REFERENCE binary aborts on it too (GetFloatVal + Abort, e.g.
+    # deeps2d_core.cpp:369-372) — same defaults the golden tests apply
+    defaults = {"beta_NonReflectedBC": "0.25", "isAlternateRMS": "1",
+                "isIgnoreUnsetNodes": "0", "MonitorIndex": "5",
+                "NumMonitorPoints": "0", "ExitMonitorValue": "1e-12"}
+    add = [f"<data/{k}={v}>" for k, v in defaults.items()
+           if f"<data/{k}=" not in txt]
+    if add:
+        txt = txt.replace("<data/beta=",
+                          "\n".join(add) + "\n<data/beta=", 1)
     open(dst, "w").write(txt)
 
 
