@@ -85,10 +85,16 @@ def halo_depth(params) -> int:
     bitwise against the XLA path by the interpret-mode tests on d2-free
     decks (tests/test_pallas.py).  ``HF2D_HALO`` overrides (A/B lever).
     """
+    need = 3 if (params.has_d2x or params.has_d2y) else 2
     env = os.environ.get("HF2D_HALO", "")
     if env:
+        if int(env) < need:
+            raise ValueError(
+                f"HF2D_HALO={env} under-provisions the stencil "
+                f"dependency depth ({need} for this case) — results "
+                "would be silently wrong")
         return int(env)
-    return 3 if (params.has_d2x or params.has_d2y) else 2
+    return need
 
 
 # slim leaves staged through the kernel (dt is a scalar, passed via SMEM)

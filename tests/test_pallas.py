@@ -283,3 +283,16 @@ def test_pallas_yplus_staged_path():
         b = np.asarray(getattr(pal.state, f))
         rel = np.abs(a - b) / (np.abs(a).max() + 1e-30)
         assert rel.max() < 5e-3, (f, rel.max())
+
+
+def test_halo_env_underprovision_rejected(monkeypatch):
+    """HF2D_HALO below the case's dependency depth must raise, not
+    silently compute wrong stencils."""
+    from openhyperflow2d_tpu.ops.pallas_step import halo_depth
+    p = build_case(channel_deck(nx=32, ny=24)).params
+    monkeypatch.setenv("HF2D_HALO", "1")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        halo_depth(p)
+    monkeypatch.setenv("HF2D_HALO", "3")
+    assert halo_depth(p) == 3
