@@ -44,7 +44,12 @@ def main():
     # conjugate heat (the Wedge-class physics: wall law/no-slip + sigma
     # weighting + CalcHeatOnWallSources) at benchmark scale
     walls = os.environ.get("BENCH_WALLS", "0") == "1"
-    deck = reacting_rans_deck(size, size, wall_bottom=walls,
+    # CFL for the bench deck.  The deck's impulsive fuel/oxidizer start is
+    # transiently Tg<0-unstable at cfl=0.25 (measured at 512^2 on both
+    # paths, PERF.md) — the default 0.2 is the measured-stable value at
+    # bench scale so the timed run is a real solve (validity gate below).
+    cfl = float(os.environ.get("BENCH_CFL", "0.2"))
+    deck = reacting_rans_deck(size, size, cfl=cfl, wall_bottom=walls,
                               adiabatic=not walls, with_step=walls)
     case = build_case(deck, dtype=dtype)
     if os.environ.get("BENCH_FASTMATH", "1") == "1":
@@ -55,14 +60,24 @@ def main():
                     pallas_fuse=fuse)
 
     # warmup: same static n_iters as the timed call so the compile is reused
-    solver.run_iters(iters)
+    wdiags = solver.run_iters(iters)
 
     t0 = time.time()
-    solver.run_iters(iters)
+    diags = solver.run_iters(iters)
     dt_wall = time.time() - t0
 
     steps_per_sec = iters / dt_wall
     gcups = size * size * steps_per_sec / 1e9 / max(n_chips, 1)
+
+    # validity gate (the reference's own Tg<0 abort contract,
+    # deeps2d_core.cpp:1246-1316): the timed run must be a stable SOLVE —
+    # no instability flag in any timed iteration and a finite state field.
+    # Checked on-device (one scalar D2H, not a 600 MB field fetch).
+    import jax.numpy as jnp
+    unstable = bool(np.asarray(diags["unstable"]).any()
+                    or np.asarray(wdiags["unstable"]).any())
+    finite = bool(jax.jit(lambda s: jnp.isfinite(s).all())(solver.state.S))
+    stable = (not unstable) and finite
 
     path = "pallas" if use_pallas else "xla"
     case_name = "reacting RANS" + (" walled+heat" if walls else "")
@@ -73,8 +88,15 @@ def main():
         "unit": "Gcell-updates/s/chip",
         "vs_baseline": round(gcups / 2.0, 4),   # target: 2 GCUPS/chip
         "steps_per_sec": round(steps_per_sec, 3),
+        "stable": stable,
+        "cfl": cfl,
     }
     print(json.dumps(result))
+    if not stable:
+        print(f"ERROR: the timed run is not a valid solve "
+              f"(unstable={unstable}, finite={finite}); lower BENCH_CFL",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

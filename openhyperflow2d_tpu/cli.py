@@ -40,13 +40,18 @@ def main(argv=None):
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--restore", default=None,
                     help="checkpoint file to resume from")
-    ap.add_argument("--pallas", action="store_true",
-                    help="use the fused Pallas TPU kernel (fastest path; "
-                    "dt lags up to --fuse iterations, see ops/pallas_step)")
+    ap.add_argument("--pallas", default=None,
+                    action=argparse.BooleanOptionalAction,
+                    help="use the fused Pallas TPU kernel (dt lags up to "
+                    "--fuse iterations, see ops/pallas_step).  Default: "
+                    "auto — ON for single-chip TPU float32 uniform-mesh "
+                    "runs (the production path), OFF otherwise "
+                    "(--no-pallas forces the XLA scan path)")
     ap.add_argument("--pallas-tile", default="128x256",
                     help="Pallas tile TXxTY")
-    ap.add_argument("--fuse", type=int, default=4,
-                    help="iterations fused per Pallas kernel launch")
+    ap.add_argument("--fuse", type=int, default=8,
+                    help="iterations fused per Pallas kernel launch "
+                    "(K=8 is the measured optimum at 128x256, PERF.md)")
     ap.add_argument("--fast-math", action="store_true",
                     help="reciprocal-multiply transforms (ulp-level "
                     "rounding changes)")
@@ -105,10 +110,21 @@ def main(argv=None):
         import dataclasses
         case.params = dataclasses.replace(case.params, fast_math=True)
     tile = tuple(int(v) for v in args.pallas_tile.split("x"))
-    solver = Solver(case, use_pallas=args.pallas, pallas_tile=tile,
+    n_dev = args.devices or len(jax.devices())
+    use_pallas = args.pallas
+    if use_pallas is None:
+        # auto path selection: one production hot loop per deck, like the
+        # reference (deeps2d_core.cpp:512); prints the fallback reason
+        from .solver.runner import choose_step_path
+        use_pallas, why = choose_step_path(
+            platform, dtype, case.params.uniform_mesh, n_dev,
+            args.num_processes)
+        print(f"step path: "
+              f"{'fused Pallas kernel' if use_pallas else 'XLA scan'} "
+              f"({why})")
+    solver = Solver(case, use_pallas=use_pallas, pallas_tile=tile,
                     pallas_fuse=args.fuse)
     primary = is_primary()
-    n_dev = args.devices or len(jax.devices())
     if args.num_processes > 1:
         from .parallel.multihost import shard_solver_global
         shard_solver_global(solver, make_mesh(n_dev))
@@ -136,8 +152,11 @@ def main(argv=None):
 
     rms_path = os.path.join(args.outdir, f"RMS-{name}")
     mon_path = os.path.join(args.outdir, f"Monitors-{name}")
-    plt_path = os.path.join(args.outdir, f"{name}.plt")
-    tp_path = os.path.join(args.outdir, f"tp-{name}.plt")
+    # OutFileName = ProjectName + OutputFile; TecPlotFileName = "tp-" +
+    # OutFileName; ErrFileName = ProjectName + ErrorFile
+    # (deeps2d_core.cpp:2884-2887)
+    plt_path = os.path.join(args.outdir, f"{name}{case.output_suffix}")
+    tp_path = os.path.join(args.outdir, f"tp-{name}{case.output_suffix}")
     if primary:
         save_rms_header(rms_path)
         if case.monitor_points:
@@ -265,7 +284,7 @@ def main(argv=None):
             write_swap_file(case.swap_path, solver, case.grid, st=st)
 
         if solver.stats.unstable:
-            err_path = os.path.join(args.outdir, f"{name}-err.plt")
+            err_path = os.path.join(args.outdir, f"{name}{case.error_suffix}")
             save_data_2d(err_path, case.grid, st, case.params,
                          solver.global_time,
                          is_p_asterisk_out=case.is_p_asterisk_out,

@@ -120,6 +120,11 @@ class Case:
     # per-column wall scan; required (reference aborts) when isOutHeatFluxX
     heatflux_params: dict = field(default_factory=dict)
     isRecalcYplus: bool = False
+    # output-file name suffixes: OutFileName = ProjectName + OutputFile,
+    # ErrFileName = ProjectName + ErrorFile (deeps2d_core.cpp:2884-2887);
+    # the Tecplot transient file is "tp-" + OutFileName (2886)
+    output_suffix: str = ".plt"
+    error_suffix: str = "-err.plt"
     # swap-file resume (PreloadFlag semantics, deeps2d_core.cpp:3197-3252)
     preloaded: bool = False
     preload_time: float = 0.0
@@ -677,6 +682,8 @@ def build_case(deck: Deck, dtype: str = "float64",
         beta_scenario=beta_scenario, cfl_scenario=cfl_scenario,
         xcuts=xcuts, project_name=deck.get_str("ProjectName", "",
                                                required=False),
+        output_suffix=deck.get_str("OutputFile", ".plt", required=False),
+        error_suffix=deck.get_str("ErrorFile", "-err.plt", required=False),
         is_p_asterisk_out=bool(deck.get_int("is_p_asterisk_out", 0,
                                             required=False)),
         is_Cx_calc=bool(deck.get_int("is_Cx_calc", 0, required=False)),

@@ -29,6 +29,28 @@ from ..core.step import StepAux, make_fast_chunk, solver_step
 from .init import Case, chem_tables_device
 
 
+def choose_step_path(platform: str, dtype: str, uniform_mesh: bool,
+                     n_devices: int = 1, n_processes: int = 1):
+    """Default step-path selection for the CLI: the fused Pallas kernel is
+    the production path (4.7x the XLA scan, PERF.md), used whenever its
+    preconditions hold; everything else falls back to the reference-exact
+    XLA scan.  Mirrors the reference's single hot loop per deck
+    (deeps2d_core.cpp:512).  Returns ``(use_pallas, reason)``.
+    """
+    if platform != "tpu":
+        return False, (f"platform is {platform!r}; the fused kernel "
+                       f"targets TPU")
+    if str(dtype) != "float32":
+        return False, (f"dtype {dtype}: f64 validation runs use the "
+                       f"reference-exact XLA path")
+    if not uniform_mesh:
+        return False, "non-uniform mesh runs on the XLA path only"
+    if n_processes > 1 or n_devices > 1:
+        return False, ("multi-device runs shard the XLA path via GSPMD "
+                       "(use parallel.shard_step for fused multi-chip)")
+    return True, "TPU, float32, uniform mesh, single chip"
+
+
 @dataclass
 class RunStats:
     iters: int = 0

@@ -246,3 +246,47 @@ def test_cli_heatflux_x_flow_index_and_window(tmp_path):
     save_x_heat_flux(str(old_path), case.grid, st, case.flow2d_list[0],
                      case.params.Ts0, case.params.MaxY, 0)
     assert hf_path.read_bytes() != old_path.read_bytes()
+
+
+def test_choose_step_path():
+    """CLI default path selection (one production hot loop per deck, like
+    deeps2d_core.cpp:512): fused Pallas on single-chip TPU f32 uniform
+    runs, reference-exact XLA scan otherwise."""
+    from openhyperflow2d_tpu.solver.runner import choose_step_path
+    on, _ = choose_step_path("tpu", "float32", True, 1, 1)
+    assert on
+    for plat, dt, uni, nd, np_ in [
+            ("cpu", "float32", True, 1, 1),      # non-TPU
+            ("tpu", "float64", True, 1, 1),      # f64 validation
+            ("tpu", "float32", False, 1, 1),     # non-uniform mesh
+            ("tpu", "float32", True, 4, 1),      # GSPMD sharding
+            ("tpu", "float32", True, 1, 2)]:     # multi-process
+        off, why = choose_step_path(plat, dt, uni, nd, np_)
+        assert not off and why
+
+
+def test_cli_output_file_suffix_keys(tmp_path):
+    """OutFileName = ProjectName + OutputFile, the transient file is
+    "tp-" + OutFileName, ErrFileName = ProjectName + ErrorFile
+    (deeps2d_core.cpp:2884-2887) — the suffixes come from the deck, not a
+    hardcoded ".plt"."""
+    from openhyperflow2d_tpu.config.deck import deck_to_text
+    from openhyperflow2d_tpu.cli import main
+
+    d = channel_deck(nx=32, ny=24, nmax=30)
+    d.data["OutputFile"] = ".dat.plt"
+    d.data["ErrorFile"] = ".failed.plt"
+    deck_path = tmp_path / "Channel.dat"
+    deck_path.write_text(deck_to_text(d))
+
+    rc = main([str(deck_path), "--max-cycles", "1",
+               "--outdir", str(tmp_path), "--no-swap"])
+    assert rc == 0
+    assert (tmp_path / "Channel.dat.plt").exists()
+    assert (tmp_path / "tp-Channel.dat.plt").exists()
+    assert not (tmp_path / "Channel.plt").exists()
+
+    case = build_case(channel_deck(nx=8, ny=8))
+    # defaults when the keys are absent match the shipped decks
+    assert case.output_suffix == ".plt"
+    assert case.error_suffix == "-err.plt"
