@@ -192,6 +192,10 @@ def main(argv=None):
         print(f"Cycle {cycles}: iter={solver.last_iter} "
               f"maxRMS[{k}]={mrms * 100:.4f}% t={solver.global_time:.6g}s "
               f"({solver.stats.steps_per_sec:.1f} step/sec)", flush=True)
+        if solver.stats.dt_overrun and primary:
+            print("WARNING: frozen dt exceeded the per-node CFL limit "
+                  "during this cycle (fused-path dt lag); consider a "
+                  "smaller --fuse or CFL", flush=True)
 
         # rank-0 outer-cycle work (deeps2d_core.cpp:1716-1848); sources are
         # a traced argument of the compiled chunk, so this never recompiles

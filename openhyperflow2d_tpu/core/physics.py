@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config.tables import table_lookup
 from . import flags as fl
@@ -32,6 +33,50 @@ TURB_INTENSITY = 0.005   # FlowNodeTurbulence2D::I (hyper_flow_turbulence.hpp:13
 def _safe_div(a, b, fallback=0.0):
     ok = b != 0
     return jnp.where(ok, a / jnp.where(ok, b, 1), fallback)
+
+
+# ---------------------------------------------------------------------------
+# Fold-aware mask combinators.  The interior-specialized kernel branch
+# (ops/pallas_step, HF2D_SPEC) passes a StaticCtx whose mask fields are
+# plain Python bools; these helpers fold the selects/logic at TRACE time,
+# so the specialized tile body never emits the mask ops at all (the other
+# branch of a folded select is then removed by jaxpr DCE).  With array
+# masks they are exactly jnp.where / & / | / ~, so the XLA paths and the
+# general kernel branch are bit-for-bit unchanged.
+# ---------------------------------------------------------------------------
+def wsel(cond, a, b):
+    """jnp.where that folds Python/numpy bool-scalar conditions."""
+    if isinstance(cond, (bool, np.bool_)):
+        taken, other = (a, b) if cond else (b, a)
+        shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b))
+        dtype = jnp.result_type(a, b)
+        return jnp.broadcast_to(jnp.asarray(taken, dtype), shape)
+    return jnp.where(cond, a, b)
+
+
+def band(a, b):
+    """a & b with Python-bool folding (False short-circuits to False)."""
+    if isinstance(a, (bool, np.bool_)):
+        return b if a else False
+    if isinstance(b, (bool, np.bool_)):
+        return a if b else False
+    return a & b
+
+
+def bor(a, b):
+    """a | b with Python-bool folding (True short-circuits to True)."""
+    if isinstance(a, (bool, np.bool_)):
+        return True if a else b
+    if isinstance(b, (bool, np.bool_)):
+        return True if b else a
+    return a | b
+
+
+def bnot(a):
+    """~a that is safe on Python bools (~False == -1 in Python!)."""
+    if isinstance(a, (bool, np.bool_)):
+        return not a
+    return ~a
 
 
 def node_masks(meta: GridMeta):
@@ -73,7 +118,7 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     solid = ctx.solid
 
     k_cpcv = _safe_div(state.CP, state.CP - state.R, 2.0)
-    guard = (~solid) & (rho != 0) & (k_cpcv >= 1)
+    guard = band(bnot(solid), (rho != 0) & (k_cpcv >= 1))
     rho_s = jnp.where(rho != 0, rho, 1)
     if p.fast_math:
         r_rho = 1.0 / rho_s
@@ -87,10 +132,10 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     # --- U/V with per-equation Dirichlet enforcement (hpp:413-421) --------
     u_const = ctx.u_const
     v_const = ctx.v_const
-    U = jnp.where(u_const, state.U, div_rho(s[fl.i2d_RhoU]))
-    V = jnp.where(v_const, state.V, div_rho(s[fl.i2d_RhoV]))
-    s[fl.i2d_RhoU] = jnp.where(u_const, U * rho, s[fl.i2d_RhoU])
-    s[fl.i2d_RhoV] = jnp.where(v_const, V * rho, s[fl.i2d_RhoV])
+    U = wsel(u_const, state.U, div_rho(s[fl.i2d_RhoU]))
+    V = wsel(v_const, state.V, div_rho(s[fl.i2d_RhoV]))
+    s[fl.i2d_RhoU] = wsel(u_const, U * rho, s[fl.i2d_RhoU])
+    s[fl.i2d_RhoV] = wsel(v_const, V * rho, s[fl.i2d_RhoV])
 
     mu_t = state.mu_t
     lam_t = state.lam_t
@@ -98,8 +143,8 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     turb_on = ctx.turb_on
     if p.sm == fl.SM_NS:
         if is_init:
-            mu_t = jnp.where(turb_on, 5.0 * state.mu, jnp.zeros_like(mu_t))
-            lam_t = jnp.where(turb_on, lam_t, jnp.zeros_like(lam_t))
+            mu_t = wsel(turb_on, 5.0 * state.mu, jnp.zeros_like(mu_t))
+            lam_t = wsel(turb_on, lam_t, jnp.zeros_like(lam_t))
         # Turbulence models (TurbModRANS2D) see the Dirichlet-enforced U,V.
         mu_t, lam_t = _turb_mod_rans(
             state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
@@ -122,33 +167,33 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     if p.has_walls:
         # WALL_LAW: project momentum onto the wall direction
         w_mag = jnp.sqrt(U * U + V * V + 1.e-30)
-        s[fl.i2d_RhoU] = jnp.where(wall_law, w_mag * meta.BGX,
-                                   s[fl.i2d_RhoU])
-        s[fl.i2d_RhoV] = jnp.where(wall_law, w_mag * meta.BGY,
-                                   s[fl.i2d_RhoV])
-        U = jnp.where(wall_law, div_rho(s[fl.i2d_RhoU]), U)
-        V = jnp.where(wall_law, div_rho(s[fl.i2d_RhoV]), V)
+        s[fl.i2d_RhoU] = wsel(wall_law, w_mag * meta.BGX,
+                              s[fl.i2d_RhoU])
+        s[fl.i2d_RhoV] = wsel(wall_law, w_mag * meta.BGY,
+                              s[fl.i2d_RhoV])
+        U = wsel(wall_law, div_rho(s[fl.i2d_RhoU]), U)
+        V = wsel(wall_law, div_rho(s[fl.i2d_RhoV]), V)
         # WALL_NO_SLIP: optional moving-wall sources, gas moves with wall
-        U_pre = jnp.where(wall_ns, div_rho(s[fl.i2d_RhoU]), U)
-        V_pre = jnp.where(wall_ns, div_rho(s[fl.i2d_RhoV]), V)
+        U_pre = wsel(wall_ns, div_rho(s[fl.i2d_RhoU]), U)
+        V_pre = wsel(wall_ns, div_rho(s[fl.i2d_RhoV]), V)
         if p.isSrcAdd:
             # per-node dx/dy on non-uniform meshes (hyper_flow_node.hpp:
             # 463-464 reads the node's own spacing)
             ndx, ndy = node_dx_dy(meta, p)
             sa_rho = (meta.BGX * (U_pre - meta.Uw) * rho / ndx
                       + meta.BGY * (V_pre - meta.Vw) * rho / ndy)
-            src_add[fl.i2d_Rho] = jnp.where(wall_ns, sa_rho, 0.0)
-            src_add[fl.i2d_RhoU] = jnp.where(
+            src_add[fl.i2d_Rho] = wsel(wall_ns, sa_rho, 0.0)
+            src_add[fl.i2d_RhoU] = wsel(
                 wall_ns, meta.BGX * (U_pre - meta.Uw) * rho, 0.0)
-            src_add[fl.i2d_RhoV] = jnp.where(
+            src_add[fl.i2d_RhoV] = wsel(
                 wall_ns, meta.BGY * (V_pre - meta.Vw) * rho, 0.0)
             for c in range(fl.NUM_COMPONENTS):
-                src_add[4 + c] = jnp.where(wall_ns, sa_rho * state.Yc[c],
-                                           0.0)
-        U = jnp.where(wall_ns, meta.Uw, U)
-        V = jnp.where(wall_ns, meta.Vw, V)
-        s[fl.i2d_RhoU] = jnp.where(wall_ns, U * rho, s[fl.i2d_RhoU])
-        s[fl.i2d_RhoV] = jnp.where(wall_ns, V * rho, s[fl.i2d_RhoV])
+                src_add[4 + c] = wsel(wall_ns, sa_rho * state.Yc[c],
+                                      0.0)
+        U = wsel(wall_ns, meta.Uw, U)
+        V = wsel(wall_ns, meta.Vw, V)
+        s[fl.i2d_RhoU] = wsel(wall_ns, U * rho, s[fl.i2d_RhoU])
+        s[fl.i2d_RhoV] = wsel(wall_ns, V * rho, s[fl.i2d_RhoV])
 
     # --- EOS (hpp:490-492) -------------------------------------------------
     p_new = (k_cpcv - 1.0) * (s[fl.i2d_RhoE]
@@ -161,11 +206,11 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
     if p.sm == fl.SM_NS:
         lam_t = mu_t * state.CP
         sig = ctx.sig
-        mu_eff = jnp.where(is_mu_t,
-                           jnp.maximum(0.0, state.mu + mu_t * sig), state.mu)
-        lam_eff = jnp.where(is_mu_t,
-                            jnp.maximum(0.0, state.lam + lam_t * sig),
-                            state.lam)
+        mu_eff = wsel(is_mu_t,
+                      jnp.maximum(0.0, state.mu + mu_t * sig), state.mu)
+        lam_eff = wsel(is_mu_t,
+                       jnp.maximum(0.0, state.lam + lam_t * sig),
+                       state.lam)
         diff = lam_eff / state.CP
         L2 = (2.0 / 3.0) * mu_eff
         if p.ft == fl.FT_AXISYMMETRIC:
@@ -232,7 +277,7 @@ def fill_node(state: SolverState, meta: GridMeta, params: SolverParams,
 
     # --- assemble outputs through the guard mask ---------------------------
     def sel(new, old):
-        return jnp.where(guard, new, old)
+        return wsel(guard, new, old)
 
     A_out = jnp.stack([sel(an[e], state.A[e]) for e in range(ne)])
     B_out = jnp.stack([sel(bn[e], state.B[e]) for e in range(ne)])
@@ -292,8 +337,8 @@ def _turb_mod_rans(state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
             l_p = n_0 / jnp.sqrt(1.0 + 5.5 * (meta.l_min / p.delta_bl) ** 6)
         else:
             l_p = n_0
-        mu_t = jnp.where(m_prandtl, rho * l_p * l_p * grad_mag, mu_t)
-        lam_t = jnp.where(m_prandtl, mu_t * state.CP, lam_t)
+        mu_t = wsel(m_prandtl, rho * l_p * l_p * grad_mag, mu_t)
+        lam_t = wsel(m_prandtl, mu_t * state.CP, lam_t)
 
     # ---------------- k-eps family (640-820) -------------------------------
     if has_keps:
@@ -363,12 +408,12 @@ def _turb_mod_rans(state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
 
         kconst = ctx.kconst
         econst = ctx.econst
-        Sk = jnp.where(m_keps & kconst, k_init, Sk)
-        Se = jnp.where(m_keps & (econst | ctx.ewall), eps_of_k(Sk), Se)
+        Sk = wsel(band(m_keps, kconst), k_init, Sk)
+        Se = wsel(band(m_keps, bor(econst, ctx.ewall)), eps_of_k(Sk), Se)
 
         nu_t = jnp.abs(C_mu * f_mu * _safe_div(Sk * Sk, Se))
-        mu_t_ke = jnp.where(is_mu_t & (Se != 0),
-                            jnp.minimum(nu_t, mu_t_ke), mu_t_ke)
+        mu_t_ke = wsel(band(is_mu_t, Se != 0),
+                       jnp.minimum(nu_t, mu_t_ke), mu_t_ke)
 
         if not is_init:
             if p.fast_math:
@@ -381,37 +426,37 @@ def _turb_mod_rans(state, meta, p, s, U, V, a_l, b_l, f_l, src, mu_t, lam_t,
             rx_e = (state.mu + mt_se) * state.depsdx
             ry_k = (state.mu + mt_sk) * state.dkdy
             ry_e = (state.mu + mt_se) * state.depsdy
-            a_l[fl.i2d_k] = jnp.where(m_keps, Sk * U - rx_k, a_l[fl.i2d_k])
-            a_l[fl.i2d_eps] = jnp.where(m_keps, Se * U - rx_e,
-                                        a_l[fl.i2d_eps])
-            b_l[fl.i2d_k] = jnp.where(m_keps, Sk * V - ry_k, b_l[fl.i2d_k])
-            b_l[fl.i2d_eps] = jnp.where(m_keps, Se * V - ry_e,
-                                        b_l[fl.i2d_eps])
-            src_k = jnp.where((Sk != 0) & ~kconst,
-                              G - Se * (1.0 + Mt) + L_k * rho,
-                              src[fl.i2d_k])
-            src_e = jnp.where(
-                (Sk != 0) & ~econst,
+            a_l[fl.i2d_k] = wsel(m_keps, Sk * U - rx_k, a_l[fl.i2d_k])
+            a_l[fl.i2d_eps] = wsel(m_keps, Se * U - rx_e,
+                                   a_l[fl.i2d_eps])
+            b_l[fl.i2d_k] = wsel(m_keps, Sk * V - ry_k, b_l[fl.i2d_k])
+            b_l[fl.i2d_eps] = wsel(m_keps, Se * V - ry_e,
+                                   b_l[fl.i2d_eps])
+            src_k = wsel(band(Sk != 0, bnot(kconst)),
+                         G - Se * (1.0 + Mt) + L_k * rho,
+                         src[fl.i2d_k])
+            src_e = wsel(
+                band(Sk != 0, bnot(econst)),
                 C1eps * f1 * _safe_div(Se, Sk) * G
                 - C2eps * f2 * _safe_div(Se * Se, Sk) + L_eps * rho,
                 src[fl.i2d_eps])
-            src[fl.i2d_k] = jnp.where(m_keps, src_k, src[fl.i2d_k])
-            src[fl.i2d_eps] = jnp.where(m_keps, src_e, src[fl.i2d_eps])
+            src[fl.i2d_k] = wsel(m_keps, src_k, src[fl.i2d_k])
+            src[fl.i2d_eps] = wsel(m_keps, src_e, src[fl.i2d_eps])
             # axisymmetric add-on (hpp:241-252)
             if p.ft == fl.FT_AXISYMMETRIC:
                 f_k = (state.mu + mu_t_ke) * state.dkdy
                 f_e = (state.mu + mu_t_ke / 1.3) * state.depsdy
-                f_l[fl.i2d_k] = jnp.where(m_keps, f_k, f_l[fl.i2d_k])
-                f_l[fl.i2d_eps] = jnp.where(m_keps, f_e, f_l[fl.i2d_eps])
+                f_l[fl.i2d_k] = wsel(m_keps, f_k, f_l[fl.i2d_k])
+                f_l[fl.i2d_eps] = wsel(m_keps, f_e, f_l[fl.i2d_eps])
         else:
-            f_l[fl.i2d_k] = jnp.where(m_keps, 0.0, f_l[fl.i2d_k])
-            f_l[fl.i2d_eps] = jnp.where(m_keps, 0.0, f_l[fl.i2d_eps])
-            src[fl.i2d_k] = jnp.where(m_keps, 0.0, src[fl.i2d_k])
-            src[fl.i2d_eps] = jnp.where(m_keps, 0.0, src[fl.i2d_eps])
+            f_l[fl.i2d_k] = wsel(m_keps, 0.0, f_l[fl.i2d_k])
+            f_l[fl.i2d_eps] = wsel(m_keps, 0.0, f_l[fl.i2d_eps])
+            src[fl.i2d_k] = wsel(m_keps, 0.0, src[fl.i2d_k])
+            src[fl.i2d_eps] = wsel(m_keps, 0.0, src[fl.i2d_eps])
 
-        s[fl.i2d_k] = jnp.where(m_keps, Sk, s[fl.i2d_k])
-        s[fl.i2d_eps] = jnp.where(m_keps, Se, s[fl.i2d_eps])
-        mu_t = jnp.where(m_keps, mu_t_ke, mu_t)
+        s[fl.i2d_k] = wsel(m_keps, Sk, s[fl.i2d_k])
+        s[fl.i2d_eps] = wsel(m_keps, Se, s[fl.i2d_eps])
+        mu_t = wsel(m_keps, mu_t_ke, mu_t)
 
     # ---------------- Spalart-Allmaras (822-917) ---------------------------
     if has_sa:
@@ -535,14 +580,14 @@ def calc_chemical_reactions(state: SolverState, meta: GridMeta,
         Yfu_n = Yfu * Y0
         Yox_n = Yox * Y0
         Ycp_n = Ycp * Y0
-        burn = react & (Tg > p.Tf)
+        burn = band(react, Tg > p.Tf)
         lean = Yox_n > Yfu_n * p.K0         # oxidizer excess
         Yox_b = jnp.where(lean, Yox_n - Yfu_n * p.K0, 0.0)
         Yfu_b = jnp.where(lean, 0.0, Yfu_n - Yox_n / max(p.K0, 1e-30))
         Ycp_b = jnp.where(lean, 1.0 - Yox_b - Yair, 1.0 - Yfu_b - Yair)
-        Yfu = jnp.where(burn, Yfu_b, jnp.where(react, Yfu_n, Yfu))
-        Yox = jnp.where(burn, Yox_b, jnp.where(react, Yox_n, Yox))
-        Ycp = jnp.where(burn, Ycp_b, jnp.where(react, Ycp_n, Ycp))
+        Yfu = jnp.where(burn, Yfu_b, wsel(react, Yfu_n, Yfu))
+        Yox = jnp.where(burn, Yox_b, wsel(react, Yox_n, Yox))
+        Ycp = jnp.where(burn, Ycp_b, wsel(react, Ycp_n, Ycp))
 
     # mixture properties at Tg (pre-clip mass fractions); strictly-
     # ascending tables (params.chem_asc, checked host-side by build_case)
@@ -578,24 +623,24 @@ def calc_chemical_reactions(state: SolverState, meta: GridMeta,
     Yair = Yair * Y0
 
     Yc_new = jnp.stack([
-        jnp.where(active, val, state.Yc[c])
+        wsel(active, val, state.Yc[c])
         for c, val in zip(range(4), (Yfu, Yox, Ycp, Yair))])
 
     store = react
     S_new = jnp.stack([
         S[0], S[1], S[2], S[3],
-        jnp.where(store, jnp.abs(Yfu * rho), S[fl.i2d_Yfu]),
-        jnp.where(store, jnp.abs(Yox * rho), S[fl.i2d_Yox]),
-        jnp.where(store, jnp.abs(Ycp * rho), S[fl.i2d_Ycp]),
+        wsel(store, jnp.abs(Yfu * rho), S[fl.i2d_Yfu]),
+        wsel(store, jnp.abs(Yox * rho), S[fl.i2d_Yox]),
+        wsel(store, jnp.abs(Ycp * rho), S[fl.i2d_Ycp]),
         S[7], S[8]])
 
     return SolverState(**{
         **state.__dict__,
         "S": S_new, "Yc": Yc_new,
-        "R": jnp.where(active, R_new, state.R),
-        "CP": jnp.where(active, CP_new, state.CP),
-        "lam": jnp.where(active, lam_new, state.lam),
-        "mu": jnp.where(active, mu_new, state.mu)})
+        "R": wsel(active, R_new, state.R),
+        "CP": wsel(active, CP_new, state.CP),
+        "lam": wsel(active, lam_new, state.lam),
+        "mu": wsel(active, mu_new, state.mu)})
 
 
 def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
@@ -619,7 +664,7 @@ def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
     dt_ = state.dt
     if ctx is not None:
         solid = ctx.solid
-        wall = ~solid & ctx.wall
+        wall = band(bnot(solid), ctx.wall)
     else:
         solid = iscond(ct, fl.CT_SOLID_2D)
         wall = (~solid & (iscond(ct, fl.CT_WALL_LAW_2D)
@@ -658,7 +703,7 @@ def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
     q = jnp.zeros_like(Tg)
     q_after = []
     for present, c in visitors:
-        q = jnp.where(present, jnp.where(q > 0.0, (q + c) * 0.5, c), q)
+        q = wsel(present, jnp.where(q > 0.0, (q + c) * 0.5, c), q)
         q_after.append(q)
 
     # SrcAdd[rhoE] per gas node: directions processed D, U, L, R — the last
@@ -671,10 +716,10 @@ def calc_heat_on_wall_sources(state: SolverState, meta: GridMeta,
     else:
         down_solid, up_solid = wall & syd(solid), wall & syu(solid)
         left_solid, right_solid = wall & sxl(solid), wall & sxr(solid)
-    src_e = jnp.where(down_solid, -dt_ * syd(q_after[2]) / p.dy, src_e)
-    src_e = jnp.where(up_solid, -dt_ * syu(q_after[1]) / p.dy, src_e)
-    src_e = jnp.where(left_solid, -dt_ * sxl(q_after[3]) / p.dx, src_e)
-    src_e = jnp.where(right_solid, -dt_ * sxr(q_after[0]) / p.dx, src_e)
+    src_e = wsel(down_solid, -dt_ * syd(q_after[2]) / p.dy, src_e)
+    src_e = wsel(up_solid, -dt_ * syu(q_after[1]) / p.dy, src_e)
+    src_e = wsel(left_solid, -dt_ * sxl(q_after[3]) / p.dx, src_e)
+    src_e = wsel(right_solid, -dt_ * sxr(q_after[0]) / p.dx, src_e)
 
     ne = fl.NUM_EQ
     src_add = jnp.stack([state.SrcAdd[e] if e != fl.i2d_RhoE else src_e

@@ -290,9 +290,17 @@ def state_from_grid(grid, params: SolverParams, dt0: float) -> SolverState:
         dt=jnp.asarray(dt0, dt))
 
 
-def meta_from_grid(grid) -> GridMeta:
-    """Stage a HostGrid's static fields as a GridMeta."""
-    f8 = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+def meta_from_grid(grid, dtype=None) -> GridMeta:
+    """Stage a HostGrid's static fields as a GridMeta.
+
+    ``dtype``: dtype for the float planes (BGX/BGY/Uw/Vw/l_min and the
+    optional spacing maps).  Pass the case's solver dtype — a float64
+    meta plane silently promotes a float32 state through the wall-branch
+    arithmetic of fill_node when x64 is globally enabled (the CPU test
+    config).  Default keeps the historical x64-flag behavior.
+    """
+    f8 = dtype if dtype is not None else (
+        jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32)
     return GridMeta(
         CT=jnp.asarray(fl.ct_to_uint32(grid.CT)),
         TCT=jnp.asarray(grid.TCT.astype(np.uint32)),

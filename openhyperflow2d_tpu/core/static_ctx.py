@@ -371,6 +371,80 @@ def unpack_static_ctx(packed, meta, params, j0=0) -> StaticCtx:
     return StaticCtx(**vals)
 
 
+def spec_supported(params) -> bool:
+    """Whether the interior-specialized kernel branch exists for this
+    case family.  The specialized StaticCtx folds the per-equation mask
+    stacks to single Python bools, which requires every equation to be
+    uniformly active on a generic node — true for the NS + k-eps family
+    (all 9 equations evolve); Euler/laminar cases have evolve[7:9] False
+    (mixed per-equation values) and run the general branch everywhere."""
+    return params.sm == fl.SM_NS and "keps" in params.models
+
+
+def generic_interior_map(CT, TCT, idXl, idXr, idYu, idYd, params):
+    """(X, Y) bool numpy map of 'generic interior' nodes — nodes whose
+    full StaticCtx decode equals the constants of
+    ``specialized_interior_ctx`` (verified by tests/test_spec_kernel.py
+    against build_static_ctx).  A generic node carries exactly the
+    IS_SET flag and exactly the k-eps model bit, with all four
+    neighbors present; any extra CT/TCT bit (BC, wall, solid, const,
+    Neumann, d2, nonreflected, other models) makes it non-generic.
+    Returns None when the case family has no specialized branch."""
+    import numpy as np
+    if not spec_supported(params):
+        return None
+    return ((np.asarray(CT).astype(np.uint32)
+             == np.uint32(fl.CT_NODE_IS_SET_2D))
+            & (np.asarray(TCT).astype(np.uint32)
+               == np.uint32(fl.TCT_k_eps_Model_2D))
+            & (np.asarray(idXl) == 1) & (np.asarray(idXr) == 1)
+            & (np.asarray(idYu) == 1) & (np.asarray(idYd) == 1))
+
+
+def specialized_interior_ctx(meta, params, j0=0) -> StaticCtx:
+    """StaticCtx of a generic-interior node with every mask a PYTHON
+    BOOL and every stencil weight a scalar: the fold-aware combinators
+    (core.physics wsel/band/bor/bnot) then eliminate the mask ops at
+    trace time, so a tile whose whole window is generic (see
+    ``generic_interior_map``) computes the same values as the general
+    decode with ~30% fewer vector ops (measured: scripts/
+    mask_ablate_bench.py).  Float planes that carry real physics
+    (l_min-derived length scales, y_r/jp1) keep their exact general
+    expressions, so results are bitwise identical on generic windows.
+    """
+    p = params
+    assert spec_supported(p)
+    dtype = p.jdtype
+    one = jnp.asarray(1.0, dtype)
+    half = jnp.asarray(0.5, dtype)
+    shape = meta.CT.shape
+    # same expressions as build_static_ctx so values/roundings match
+    l_base = jnp.maximum(meta.l_min, min(p.dx, p.dy)) * 0.41
+    jj = j0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(dtype)
+    return StaticCtx(
+        evolve=True, dxn=False, dyn=False, dx2=False, dy2=False,
+        ddmask=True, ev_flux_x=True, ev_avg_x=False,
+        ev_flux_y=True, ev_avg_y=False,
+        solid=False, fc=False, active=True, nrbc=False,
+        bXl=True, bXr=True, bYu=True, bYd=True,
+        n1=one, n2=one, n3=one, n4=one, rn_n=half, rm_m=half,
+        dx1nn=(half / p.dx).astype(dtype),
+        dy1mm=(half / p.dy).astype(dtype),
+        u_const=False, v_const=False, wall_law=False, wall_ns=False,
+        wall=False, turb_on=True, sig=jnp.asarray(p.SigF, dtype),
+        y_r=(jj + 0.5) * p.dy, jp1=jj + 1.0,
+        m_prandtl=False, m_keps=True, m_sa=False, m_smag=False,
+        kconst=False, econst=False, ewall=False, sa_bc=False,
+        l_base=l_base.astype(dtype),
+        n_0=(meta.l_min * 0.41).astype(dtype),
+        l_s=jnp.where(l_base != 0, l_base, 1).astype(dtype),
+        l_min_s=jnp.where(meta.l_min != 0, meta.l_min, 1).astype(dtype),
+        dydx_ok=True, dydy_ok=True, g_dydx=True, g_dydy=True,
+        km=True, em=True, react=True,
+        hv_xl=False, hv_yd=False, hv_yu=False, hv_xr=False,
+        hw_down=False, hw_up=False, hw_left=False, hw_right=False)
+
+
 def build_static_ctx(meta, params, j0=0) -> StaticCtx:
     """Decode GridMeta + SolverParams into a StaticCtx.
 

@@ -32,8 +32,9 @@ import jax.numpy as jnp
 
 from ..config.tables import table_lookup
 from . import flags as fl
-from .physics import (calc_chemical_reactions, calc_heat_on_wall_sources,
-                      fill_node, iscond, node_masks, _safe_div)
+from .physics import (band, bnot, bor, calc_chemical_reactions,
+                      calc_heat_on_wall_sources, fill_node, iscond,
+                      node_masks, _safe_div, wsel)
 from .state import ChemTables, GridMeta, SolverParams, SolverState
 from .static_ctx import StaticCtx, build_static_ctx
 
@@ -64,10 +65,10 @@ def shift_yu(q):
 def neighbors(q, idXl, idXr, idYu, idYd):
     """Left/Right/Up/Down neighbor values with wall collapse
     (N1 = i - idXl etc., deeps2d_core.cpp:869-888)."""
-    L = jnp.where(idXl, shift_xl(q), q)
-    Rn = jnp.where(idXr, shift_xr(q), q)
-    Up = jnp.where(idYu, shift_yu(q), q)
-    Dn = jnp.where(idYd, shift_yd(q), q)
+    L = wsel(idXl, shift_xl(q), q)
+    Rn = wsel(idXr, shift_xr(q), q)
+    Up = wsel(idYu, shift_yu(q), q)
+    Dn = wsel(idYd, shift_yd(q), q)
     return L, Rn, Up, Dn
 
 
@@ -122,26 +123,26 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     # dxn/dyn masks are "Neumann flag present": flag absent -> flux
     # difference, flag present -> neighbor average + zero gradient
     # (deeps2d_core.cpp:940-1007).
-    dSdx_new = jnp.where(ctx.ev_flux_x, (A_R - A_L) * rn_n,
-                         jnp.where(evolve, 0.0, state.dSdx))
-    dSdy_new = jnp.where(ctx.ev_flux_y, (B_U - B_D) * rm_m,
-                         jnp.where(evolve, 0.0, state.dSdy))
+    dSdx_new = wsel(ctx.ev_flux_x, (A_R - A_L) * rn_n,
+                    wsel(evolve, 0.0, state.dSdx))
+    dSdy_new = wsel(ctx.ev_flux_y, (B_U - B_D) * rm_m,
+                    wsel(evolve, 0.0, state.dSdy))
 
     # Neumann averaging mutates S before the blend (996-1006); x first, y
     # overrides if both flags are set.
-    S_eff = jnp.where(ctx.ev_avg_x, (S_L * n2 + S_R * n1) * rn_n, S)
-    S_eff = jnp.where(ctx.ev_avg_y, (S_U * n3 + S_D * n4) * rm_m, S_eff)
+    S_eff = wsel(ctx.ev_avg_x, (S_L * n2 + S_R * n1) * rn_n, S)
+    S_eff = wsel(ctx.ev_avg_y, (S_U * n3 + S_D * n4) * rm_m, S_eff)
 
     # 2nd-order soft-BC averaging, statically skipped when no node of the
     # case carries a d2*-NULL flag (params.has_d2x/y from build_case)
     if p.has_d2x:
         dSdx_L, dSdx_R, _, _ = neighbors(dSdx_new, idXl, idXr, idYu, idYd)
-        dXX = jnp.where(dx2m, (dSdx_L + dSdx_R) * 0.5, dSdx_new)
+        dXX = wsel(dx2m, (dSdx_L + dSdx_R) * 0.5, dSdx_new)
     else:
         dXX = dSdx_new
     if p.has_d2y:
         _, _, dSdy_U, dSdy_D = neighbors(dSdy_new, idXl, idXr, idYu, idYd)
-        dYY = jnp.where(dy2m, (dSdy_U + dSdy_D) * 0.5, dSdy_new)
+        dYY = wsel(dy2m, (dSdy_U + dSdy_D) * 0.5, dSdy_new)
     else:
         dYY = dSdy_new
 
@@ -154,7 +155,7 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     next_s = (S_eff * beta + (1.0 - beta) * blend
               - (dtdx * dXX + dtdy * y_term)
               + state.Src * dt_ + state.SrcAdd)
-    next_s = jnp.where(evolve, next_s, S_eff)
+    next_s = wsel(evolve, next_s, S_eff)
 
     # ---------------- PASS 2: DD / beta / RMS / commit (1062-1164) ---------
     tmp = S_eff
@@ -170,8 +171,9 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     if p.has_nrbc:
         # per-node override on CT_NONREFLECTED nodes; statically skipped
         # (beta_min stays a scalar) when the case marked none
-        beta_min = jnp.where(ctx.nrbc, jnp.asarray(p.nrbc_beta0, dtype),
-                             beta_min)[None]
+        beta_min = jnp.asarray(
+            wsel(ctx.nrbc, jnp.asarray(p.nrbc_beta0, dtype),
+                 beta_min))[None]
     if p.bff == fl.BFF_L:
         new_beta = jnp.minimum(beta_min,
                                beta_min ** 2 / (beta_min + dd_local))
@@ -193,8 +195,8 @@ def pass12(state: SolverState, meta: GridMeta, params: SolverParams,
     else:
         new_beta = beta
 
-    dd_gate = ctx.ddmask & (tmp != 0.0)
-    beta_out = jnp.where(dd_gate, new_beta, beta)
+    dd_gate = band(ctx.ddmask, tmp != 0.0)
+    beta_out = wsel(dd_gate, new_beta, beta)
 
     if return_fields:
         # next_s already carries the evolve selection (pass 1 tail)
@@ -277,19 +279,19 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
             gx = (Sc_R[k] - Sc_L[k]) * dx1nn
             gy = (Sc_U[k] - Sc_D[k]) * dy1mm
             droYdx_l.append(
-                jnp.where(ctx.g_dydx, gx, st.droYdx[k - 4]))
+                wsel(ctx.g_dydx, gx, st.droYdx[k - 4]))
             droYdy_l.append(
-                jnp.where(ctx.g_dydy, gy, st.droYdy[k - 4]))
-            air_R = air_R - jnp.where(dydx_ok, Sc_R[k], 0.0)
-            air_L = air_L - jnp.where(dydx_ok, Sc_L[k], 0.0)
-            air_U = air_U - jnp.where(dydy_ok, Sc_U[k], 0.0)
-            air_D = air_D - jnp.where(dydy_ok, Sc_D[k], 0.0)
+                wsel(ctx.g_dydy, gy, st.droYdy[k - 4]))
+            air_R = air_R - wsel(dydx_ok, Sc_R[k], 0.0)
+            air_L = air_L - wsel(dydx_ok, Sc_L[k], 0.0)
+            air_U = air_U - wsel(dydy_ok, Sc_U[k], 0.0)
+            air_D = air_D - wsel(dydy_ok, Sc_D[k], 0.0)
         droYdx_l.append(
-            jnp.where(ctx.g_dydx, (air_R - air_L) * dx1nn,
-                      jnp.where(active, 0.0, st.droYdx[fl.NUM_COMPONENTS])))
+            wsel(ctx.g_dydx, (air_R - air_L) * dx1nn,
+                 wsel(active, 0.0, st.droYdx[fl.NUM_COMPONENTS])))
         droYdy_l.append(
-            jnp.where(ctx.g_dydy, (air_U - air_D) * dy1mm,
-                      jnp.where(active, 0.0, st.droYdy[fl.NUM_COMPONENTS])))
+            wsel(ctx.g_dydy, (air_U - air_D) * dy1mm,
+                 wsel(active, 0.0, st.droYdy[fl.NUM_COMPONENTS])))
         droYdx = jnp.stack(droYdx_l)
         droYdy = jnp.stack(droYdy_l)
 
@@ -300,12 +302,12 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
         if p.has_walls:
             def grad_x(qr, ql):
                 # wall nodes use the asymmetric n1*right - n2*left weights
-                return jnp.where(wall, (qr * n1 - ql * n2) * dx1nn,
-                                 (qr - ql) * dx1nn)
+                return wsel(wall, (qr * n1 - ql * n2) * dx1nn,
+                            (qr - ql) * dx1nn)
 
             def grad_y(qu, qd):
-                return jnp.where(wall, (qu * n3 - qd * n4) * dy1mm,
-                                 (qu - qd) * dy1mm)
+                return wsel(wall, (qu * n3 - qd * n4) * dy1mm,
+                            (qu - qd) * dy1mm)
         else:
             def grad_x(qr, ql):
                 return (qr - ql) * dx1nn
@@ -313,36 +315,36 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
             def grad_y(qu, qd):
                 return (qu - qd) * dy1mm
 
-        dUdx = jnp.where(active, grad_x(U_R, U_L), st.dUdx)
-        dVdx = jnp.where(active, grad_x(V_R, V_L), st.dVdx)
-        dUdy = jnp.where(active, grad_y(U_U, U_D), st.dUdy)
-        dVdy = jnp.where(active, grad_y(V_U, V_D), st.dVdy)
+        dUdx = wsel(active, grad_x(U_R, U_L), st.dUdx)
+        dVdx = wsel(active, grad_x(V_R, V_L), st.dVdx)
+        dUdy = wsel(active, grad_y(U_U, U_D), st.dUdy)
+        dVdy = wsel(active, grad_y(V_U, V_D), st.dVdy)
 
         km = ctx.km
         has_turb2 = ("keps" in p.models) or ("sa" in p.models)
         if has_turb2:
-            dkdx = jnp.where(km, div_rho_c(grad_x(Sc_R[fl.i2d_k],
-                                                  Sc_L[fl.i2d_k])),
-                             st.dkdx)
-            dkdy = jnp.where(km, div_rho_c(grad_y(Sc_U[fl.i2d_k],
-                                                  Sc_D[fl.i2d_k])),
-                             st.dkdy)
+            dkdx = wsel(km, div_rho_c(grad_x(Sc_R[fl.i2d_k],
+                                             Sc_L[fl.i2d_k])),
+                        st.dkdx)
+            dkdy = wsel(km, div_rho_c(grad_y(Sc_U[fl.i2d_k],
+                                             Sc_D[fl.i2d_k])),
+                        st.dkdy)
         else:
             dkdx, dkdy = st.dkdx, st.dkdy
         em = ctx.em
         if "keps" in p.models:
-            depsdx = jnp.where(em, div_rho_c(grad_x(Sc_R[fl.i2d_eps],
-                                                    Sc_L[fl.i2d_eps])),
-                               st.depsdx)
-            depsdy = jnp.where(em, div_rho_c(grad_y(Sc_U[fl.i2d_eps],
-                                                    Sc_D[fl.i2d_eps])),
-                               st.depsdy)
+            depsdx = wsel(em, div_rho_c(grad_x(Sc_R[fl.i2d_eps],
+                                               Sc_L[fl.i2d_eps])),
+                          st.depsdx)
+            depsdy = wsel(em, div_rho_c(grad_y(Sc_U[fl.i2d_eps],
+                                               Sc_D[fl.i2d_eps])),
+                          st.depsdy)
         else:
             depsdx, depsdy = st.depsdx, st.depsdy
 
         Tg_L, Tg_R, Tg_U, Tg_D = neighbors(st.Tg, idXl, idXr, idYu, idYd)
-        dTdx = jnp.where(active, (Tg_R - Tg_L) * dx1nn, st.dTdx)
-        dTdy = jnp.where(active, (Tg_U - Tg_D) * dy1mm, st.dTdy)
+        dTdx = wsel(active, (Tg_R - Tg_L) * dx1nn, st.dTdx)
+        dTdy = wsel(active, (Tg_U - Tg_D) * dy1mm, st.dTdy)
     else:
         droYdx, droYdy = st.droYdx, st.droYdy
         dUdx, dUdy, dVdx, dVdy = st.dUdx, st.dUdy, st.dVdx, st.dVdy
@@ -360,10 +362,10 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
     # NT_FC nodes: always refreshed with is_mu_t=1.
     # logical-or form of where(fc, True, iter-flag): Mosaic cannot lower the
     # i8->i1 select this produced
-    is_mu_t = ctx.fc | jnp.asarray(aux.is_mu_t_iter, bool)
+    is_mu_t = bor(ctx.fc, jnp.asarray(aux.is_mu_t_iter, bool))
     filled = fill_node(mid, meta, p, is_mu_t, is_init=False, j0=j0, ctx=ctx)
 
-    unstable_field = active & (filled.Tg < 0.0)
+    unstable_field = band(active, filled.Tg < 0.0)
     unstable = unstable_field if return_fields else jnp.any(unstable_field)
 
     # ---------------- local dt (1317-1327) ---------------------------------
@@ -372,7 +374,7 @@ def gfc(state: SolverState, meta: GridMeta, params: SolverParams,
     aaa = jnp.sqrt(jnp.maximum(k_new * filled.R * filled.Tg, 0.0))
     dt_nodes = cfl_min * jnp.minimum(p.dx / (aaa + jnp.abs(filled.U)),
                                      p.dy / (aaa + jnp.abs(filled.V)))
-    dt_field = jnp.where(active, dt_nodes, 1.0)
+    dt_field = wsel(active, dt_nodes, 1.0)
     dt_new = jnp.minimum(1.0, jnp.min(dt_field))
     if p.serial_dt_mode:
         dt_new = jnp.minimum(dt_new, state.dt)

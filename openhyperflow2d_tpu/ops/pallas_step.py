@@ -66,8 +66,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import flags as fl
 from ..core.physics import node_masks, _safe_div
 from ..core.state import ChemTables, GridMeta, SolverParams, SolverState
+from ..core.physics import band
 from ..core.static_ctx import (N_CTX_WORDS, build_packed_ctx,
-                               build_static_ctx, unpack_static_ctx)
+                               build_static_ctx, generic_interior_map,
+                               specialized_interior_ctx, unpack_static_ctx)
 from ..core.step import (SlimState, StepAux, expand, gfc, make_aux,
                          needs_y_plus, pass12, shrink, _SLIM_FIELDS)
 
@@ -113,7 +115,8 @@ def _default_vmem(vmem_limit_bytes):
 def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                tile, K, vmem_limit_bytes, interior_x=None,
                red_sum=None, red_max=None, red_min=None, k_loop=None,
-               persistent=False, y_plus=None, lam_t_const=None):
+               persistent=False, y_plus=None, lam_t_const=None,
+               spec_map=None):
     """Build the fused-kernel machinery; returns a namespace with
     ``make_block`` / ``aux_at`` / ``scan_dt`` / ``explode`` / ``crop`` /
     ``refresh``.
@@ -175,6 +178,30 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     Xp, Yp = nbx * TX, nby * TY
     WX, WY = TX + 2 * HX, TY + 2 * HY
     dtype = p.jdtype
+
+    # interior specialization (HF2D_SPEC, default on): tiles whose whole
+    # window lies inside the generic-interior node map run a second
+    # kernel branch whose StaticCtx masks are Python-bool constants —
+    # the fold-aware combinators then remove the mask select/logic ops
+    # at trace time (bitwise-identical results; ~23% less tile work,
+    # measured by the all-constant ablation: scripts/mask_ablate_bench).
+    spec_flags = None
+    if (spec_map is not None
+            and os.environ.get("HF2D_SPEC", "1") == "1"):
+        sm_np = np.asarray(spec_map)
+        flags = np.zeros((nbx, nby), np.int32)
+        for si in range(nbx):
+            sx0, sx1 = si * TX - HX, si * TX + TX + HX
+            if sx0 < 0 or sx1 > X:
+                continue            # window leaves the real extent
+            for sj in range(nby):
+                sy0, sy1 = sj * TY - HY, sj * TY + TY + HY
+                if sy0 < 0 or sy1 > Y:
+                    continue
+                flags[si, sj] = int(sm_np[sx0:sx1, sy0:sy1].all())
+        if flags.any():
+            spec_flags = jnp.asarray(flags.reshape(-1))
+    n_spec = 1 if spec_flags is not None else 0
 
     # exploded-window layout via edge-replicated pad + static slices
     # (equivalent to a clamped-index gather, but XLA lowers static
@@ -368,9 +395,11 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             src_ref = (refs[c0 + n_ctx_stage] if has_src
                        else None)
             chem_refs = refs[n_in:n_in + len(CHEM_FIELDS)]
-            k0 = n_in + len(CHEM_FIELDS)
+            spec_ref = (refs[n_in + len(CHEM_FIELDS)] if n_spec else None)
+            k0 = n_in + len(CHEM_FIELDS) + n_spec
             out_refs = refs[k0:k0 + nS]
-            pr_num, pr_den, pr_max, pr_uns = refs[k0 + nS:k0 + nS + 4]
+            (pr_num, pr_den, pr_max, pr_uns,
+             pr_ovr) = refs[k0 + nS:k0 + nS + 5]
 
             ti = pl.program_id(0)
             tj = pl.program_id(1)
@@ -382,6 +411,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                 pr_den[...] = jnp.zeros_like(pr_den)
                 pr_max[...] = jnp.zeros_like(pr_max)
                 pr_uns[...] = jnp.zeros_like(pr_uns)
+                pr_ovr[...] = jnp.zeros_like(pr_ovr)
 
             def assemble(c_ref, xs_ref, ys_ref):
                 """Window value from [x-strip ; y-strip | center | y-strip
@@ -436,16 +466,18 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
 
             j0 = tj * TY - HY   # global j of window row 0 (clamped rows
             #                     are only read as masked neighbors)
-            if ctx_stream:
-                # cheap unpack of the pre-decoded ctx (streamed like meta)
-                pk_w = assemble(ctxp_refs[0], ctxp_refs[1],
-                                ctxp_refs[2] if HY else None)
-                ctx_blk = unpack_static_ctx(pk_w, meta_blk, p_blk, j0)
-            else:
+
+            def general_ctx():
+                if ctx_stream:
+                    # cheap unpack of the pre-decoded ctx (streamed like
+                    # meta)
+                    pk_w = assemble(ctxp_refs[0], ctxp_refs[1],
+                                    ctxp_refs[2] if HY else None)
+                    return unpack_static_ctx(pk_w, meta_blk, p_blk, j0)
                 # static decode once per invocation, shared by all KK
                 # iterations
-                ctx_blk = build_static_ctx(meta_blk, p_blk, j0)
-            active_c = ctx_blk.active[HX:HX + TX, HY:HY + TY]
+                return build_static_ctx(meta_blk, p_blk, j0)
+
             # validity mask over the tile center: pad rows/columns beyond
             # the real (X, Y) extent carry edge-replicated node flags and
             # must not contribute to the RMS/DD/instability partials (the
@@ -457,7 +489,8 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             if interior_x is not None:
                 in_x = in_x & (gi >= interior_x[0]) & (gi < interior_x[1])
 
-            def iter_body(i, carry):
+            def make_iter_body(ctx_blk, active_c):
+              def iter_body(i, carry):
                 slim = SlimState(**dict(zip(SLIM_BIG, carry)),
                                  dt=scal_ref[0].astype(dtype))
                 base = 1 + 6 * i
@@ -469,9 +502,9 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                                 is_mu_t_iter=scal_ref[base + 5] > 0.5)
 
                 full = expand(slim, p_blk, src_w, yp_w, lam_w)
-                out_state, _, _ = gfc(full, meta_blk, p_blk, chem_blk,
-                                      aux_g, j0=j0, return_fields=True,
-                                      ctx=ctx_blk)
+                out_state, dt_fld, _ = gfc(full, meta_blk, p_blk, chem_blk,
+                                           aux_g, j0=j0, return_fields=True,
+                                           ctx=ctx_blk)
                 out_state = SolverState(**{**out_state.__dict__,
                                            "dt": slim.dt})
                 S_c, beta_c, _, _, fields = pass12(out_state, meta_blk,
@@ -507,33 +540,73 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                                              + den[:, None, :])
                 pr_max[:, pl.ds(i, 1), :] = jnp.maximum(
                     pr_max[:, pl.ds(i, 1), :], ddm[:, None, :])
-                uns = active_c & in_x & (out_state.Tg[HX:HX + TX,
-                                                      HY:HY + TY] < 0.0)
+                uns = band(active_c,
+                           in_x & (out_state.Tg[HX:HX + TX,
+                                                HY:HY + TY] < 0.0))
                 pr_uns[pl.ds(i, 1), :] = (
                     pr_uns[pl.ds(i, 1), :]
                     + jnp.sum(uns.astype(jnp.int32)[None], axis=-2))
+                # frozen-dt CFL guard: the block-frozen dt must not exceed
+                # this iteration's freshly computed per-node CFL limit
+                # (gfc's dt_field, deeps2d_core.cpp:1317-1327 — the dt the
+                # reference would have used next).  Inactive nodes carry
+                # dt_field = 1.0 >= dt, so only real CFL overruns count.
+                ovr = in_x & (slim.dt > dt_fld[HX:HX + TX, HY:HY + TY])
+                pr_ovr[pl.ds(i, 1), :] = (
+                    pr_ovr[pl.ds(i, 1), :]
+                    + jnp.sum(ovr.astype(jnp.int32)[None], axis=-2))
                 return tuple(getattr(slim, f) for f in SLIM_BIG)
 
-            if persistent:
-                carry = tuple(assemble(slim_refs[k], xs_refs[k],
-                                       ys_refs[k] if HY else None)
-                              for k in range(nS))
-            else:
-                carry = tuple(slim_refs[k][...] for k in range(nS))
-            if k_loop and KK > 1:
-                # rolled K-loop: one compiled body regardless of KK — caps
-                # both VMEM liveness and Mosaic compile time, enabling
-                # deeper temporal blocking / larger windows than the
-                # unrolled form (which keeps ~K iterations of plane
-                # intermediates live and compiles superlinearly in K)
-                carry = jax.lax.fori_loop(0, KK, iter_body, carry)
-            else:
-                for i in range(KK):
-                    carry = iter_body(i, carry)
+              return iter_body
 
-            # ---- write center crops of the final carry -------------------
-            for k, f in enumerate(SLIM_BIG):
-                out_refs[k][...] = carry[k][..., HX:HX + TX, HY:HY + TY]
+            if persistent:
+                carry0 = tuple(assemble(slim_refs[k], xs_refs[k],
+                                        ys_refs[k] if HY else None)
+                               for k in range(nS))
+            else:
+                carry0 = tuple(slim_refs[k][...] for k in range(nS))
+
+            def run_body(ctx_blk):
+                """KK fused iterations + center writeback for one ctx
+                variant (general decode or the fold-constant interior
+                specialization)."""
+                active_c = (ctx_blk.active if isinstance(ctx_blk.active,
+                                                         bool)
+                            else ctx_blk.active[HX:HX + TX, HY:HY + TY])
+                iter_body = make_iter_body(ctx_blk, active_c)
+                carry = carry0
+                if k_loop and KK > 1:
+                    # rolled K-loop: one compiled body regardless of KK —
+                    # caps both VMEM liveness and Mosaic compile time,
+                    # enabling deeper temporal blocking / larger windows
+                    # than the unrolled form (which keeps ~K iterations of
+                    # plane intermediates live and compiles superlinearly
+                    # in K)
+                    carry = jax.lax.fori_loop(0, KK, iter_body, carry)
+                else:
+                    for i in range(KK):
+                        carry = iter_body(i, carry)
+                # ---- write center crops of the final carry ---------------
+                for k in range(nS):
+                    out_refs[k][...] = carry[k][..., HX:HX + TX,
+                                                HY:HY + TY]
+
+            if n_spec:
+                # per-tile dispatch: generic-interior tiles run the
+                # specialized branch (bitwise-identical, ~23% cheaper);
+                # everything else the general decode.  Exactly one branch
+                # executes per grid step.
+                is_spec = spec_ref[ti * nby + tj] > 0
+
+                @pl.when(is_spec)
+                def _spec():
+                    run_body(specialized_interior_ctx(meta_blk, p_blk, j0))
+
+                @pl.when(jnp.logical_not(is_spec))
+                def _general():
+                    run_body(general_ctx())
+            else:
+                run_body(general_ctx())
 
         # pallas call plumbing ------------------------------------------------
         def lead_of(f):
@@ -589,7 +662,9 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                     + ctx_in
                     + ([in_spec_for(None, "src")] if has_src else [])
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)
-                       for _ in CHEM_FIELDS])
+                       for _ in CHEM_FIELDS]
+                    + ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                       if n_spec else []))
 
         # whole-array accumulator blocks (constant index_map => the block
         # persists across the sequential TPU grid; each program accumulates
@@ -598,12 +673,12 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                      + [pl.BlockSpec((9, KK, TY), lambda i, j: (0, 0, 0),
                                      memory_space=pltpu.VMEM)] * 3
                      + [pl.BlockSpec((KK, TY), lambda i, j: (0, 0),
-                                     memory_space=pltpu.VMEM)])
+                                     memory_space=pltpu.VMEM)] * 2)
 
         out_shapes = ([jax.ShapeDtypeStruct(lead_of(f) + (Xp, Yp), dtype)
                        for f in SLIM_BIG]
                       + [jax.ShapeDtypeStruct((9, KK, TY), dtype)] * 3
-                      + [jax.ShapeDtypeStruct((KK, TY), jnp.int32)])
+                      + [jax.ShapeDtypeStruct((KK, TY), jnp.int32)] * 2)
 
         # persistent: center block (i,j) is read and written by the SAME
         # grid step only (the overlapping halo ring comes from the strip
@@ -699,17 +774,19 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                    + meta_ins
                    + ctx_ins
                    + ([src_ex] if has_src else [])
-                   + [getattr(chem, f) for f in CHEM_FIELDS])
+                   + [getattr(chem, f) for f in CHEM_FIELDS]
+                   + ([spec_flags] if n_spec else []))
             outs = fused(scal, *ins)
             if persistent:
                 new_leaves = list(outs[:nS])     # stay (Xp, Yp)
             else:
                 new_leaves = [a[..., :X, :Y] for a in outs[:nS]]
-            num, den, ddm, uns = outs[nS:]
+            num, den, ddm, uns, ovr = outs[nS:]
             slim2 = SlimState(**dict(zip(SLIM_BIG, new_leaves)), dt=dt_k)
             if raw_diag:
                 return slim2, {"num": num.sum(-1), "den": den.sum(-1),
-                               "ddm": ddm.max(-1), "uns": uns.sum(-1)}
+                               "ddm": ddm.max(-1), "uns": uns.sum(-1),
+                               "ovr": ovr.sum(-1)}
             nsum = red_sum(num.sum(-1))             # (9, KK)
             dsum = red_sum(den.sum(-1))
             if p.isAlternateRMS:
@@ -722,7 +799,9 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             diag = {"RMS": rms.T,                       # (KK, 9)
                     "DD_max": red_max(ddm.max(-1)).T,   # (KK, 9)
                     "dt_used": jnp.broadcast_to(dt_k, (KK,)),
-                    "unstable": red_sum(uns.sum(-1)) > 0}        # (KK,)
+                    "unstable": red_sum(uns.sum(-1)) > 0,        # (KK,)
+                    # frozen-dt CFL-violation monitor (kernel iter_body)
+                    "dt_overrun": red_sum(ovr.sum(-1)) > 0}      # (KK,)
             return slim2, diag
 
         return block
@@ -735,7 +814,8 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
 def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                       chem: ChemTables, beta_tab, cfl_tab, turb_start,
                       tile=(64, 128), fuse_iters: int = 1,
-                      vmem_limit_bytes=None, persistent=None):
+                      vmem_limit_bytes=None, persistent=None,
+                      spec_map=None):
     """Build chunk(state, n_iters, start_iter, src_ext) running the fused
     kernel.
 
@@ -769,7 +849,7 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
         lam_const = None if p.sm == fl.SM_NS else state.lam_t
         M = _machinery(mt, p, chem, beta_tab, cfl_tab, turb_start, tile,
                        K, vmem, persistent=persistent, y_plus=yp_const,
-                       lam_t_const=lam_const)
+                       lam_t_const=lam_const, spec_map=spec_map)
         block_k = M.make_block(K)
         ctx_g = build_static_ctx(mt, p)
         if not p.has_ext_src:
@@ -832,6 +912,9 @@ def make_pallas_chunk(meta: GridMeta, params: SolverParams,
                            diags["DD_max"] if diags else None),
             "unstable": trail(diags["unstable"] if diags else None,
                               unstable_last),
+            # the epilogue gfc recomputes a fresh dt (no freeze) -> False
+            "dt_overrun": trail(diags["dt_overrun"] if diags else None,
+                                jnp.asarray(False)),
         }
         return out, all_diag
 

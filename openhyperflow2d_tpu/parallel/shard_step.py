@@ -442,7 +442,7 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
             carry = SlimState(**{f: getattr(sl, f) for f in SLIM_BIG},
                               dt=f32r(dt_k))
             csl = slice(H, 2 * H)
-            nums, dens, ddms, unss = [], [], [], []
+            nums, dens, ddms, unss, ovrs = [], [], [], [], []
             for i in range(KK):
                 ag, ap = aux_at(kbase + i), aux_at(kbase + i + 1)
                 aux_g = StepAux(beta_scen=f32r(ag.beta_scen),
@@ -452,8 +452,8 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                                 cfl_scen=f32r(ap.cfl_scen),
                                 is_mu_t_iter=ap.is_mu_t_iter)
                 full = expand(carry, p_edge, src_e, yp_e, lam_e)
-                out, _, uns_f = gfc(full, meta_e, p_edge, chem, aux_g,
-                                    j0=0, return_fields=True, ctx=ctx_e)
+                out, dt_f, uns_f = gfc(full, meta_e, p_edge, chem, aux_g,
+                                       j0=0, return_fields=True, ctx=ctx_e)
                 out = SolverState(**{**out.__dict__, "dt": f32r(dt_k)})
                 S_c, beta_c, _, _, fields = pass12(out, meta_e, p_edge,
                                                    aux_p, j0=0,
@@ -478,10 +478,15 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                     dens.append(jnp.sum(g, (-2, -1)).astype(dtype))
                 ddms.append(jnp.max(jnp.where(g, dl, 0.0), (-2, -1)))
                 unss.append(jnp.sum(uns_f[csl, :].astype(jnp.int32)))
+                # frozen-dt CFL guard over the fresh edge columns (same
+                # monitor as the kernel's pr_ovr, ops/pallas_step)
+                ovrs.append(jnp.sum(
+                    (f32r(dt_k) > dt_f[csl, :]).astype(jnp.int32)))
             return carry, {"num": jnp.stack(nums, -1),
                            "den": jnp.stack(dens, -1),
                            "ddm": jnp.stack(ddms, -1),
-                           "uns": jnp.stack(unss, -1)}
+                           "uns": jnp.stack(unss, -1),
+                           "ovr": jnp.stack(ovrs, -1)}
 
         def make_body(KK):
             blk_int = M_int.make_block(KK)
@@ -535,9 +540,11 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                     jnp.maximum(jnp.maximum(rL["ddm"], rI["ddm"]),
                                 rR["ddm"]), "x")
                 uns = lax.psum(rL["uns"] + rI["uns"] + rR["uns"], "x")
+                ovr = lax.psum(rL["ovr"] + rI["ovr"] + rR["ovr"], "x")
                 diag = {"RMS": rms.T, "DD_max": ddm.T,
                         "dt_used": jnp.broadcast_to(dt_k, (KK,)),
-                        "unstable": uns > 0}
+                        "unstable": uns > 0,
+                        "dt_overrun": ovr > 0}
                 return SlimState(**new_ext, dt=dt_k), diag
 
             return body
@@ -577,7 +584,8 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
         (P() if f == "dt" else
          (spec_x if slim_ranks.get(f, 2) == 3 else spec_x2))
         for f in _SLIM_FIELDS), {"RMS": P(), "DD_max": P(),
-                                 "dt_used": P(), "unstable": P()})
+                                 "dt_used": P(), "unstable": P(),
+                                 "dt_overrun": P()})
 
     ctx_g = build_static_ctx(meta, p)
 
@@ -640,6 +648,10 @@ def make_pallas_shard_chunk(meta: GridMeta, params: SolverParams,
                            diags["DD_max"] if diags else None),
             "unstable": trail(diags["unstable"] if diags else None,
                               unstable_last),
+            # frozen-dt CFL monitor (see ops/pallas_step); epilogue gfc
+            # recomputes a fresh dt -> False
+            "dt_overrun": trail(diags["dt_overrun"] if diags else None,
+                                jnp.asarray(False)),
         }
         return out, all_diag
 

@@ -59,6 +59,9 @@ class RunStats:
     monitors: list = field(default_factory=list)
     steps_per_sec: float = 0.0
     unstable: bool = False
+    # fused paths only: a block-frozen dt exceeded some node's freshly
+    # computed CFL limit during the cycle (ops/pallas_step iter_body)
+    dt_overrun: bool = False
 
 
 class Solver:
@@ -76,7 +79,7 @@ class Solver:
         p = case.params
         self.params = p
         dtype = p.jdtype
-        self.meta = meta_from_grid(case.grid)
+        self.meta = meta_from_grid(case.grid, dtype=dtype)
         self.chem = chem_tables_device(case.chem, dtype)
         self.state = state_from_grid(case.grid, p, case.dt0)
         # external volumetric sources (SetSources2D) — quasi-static input
@@ -130,13 +133,20 @@ class Solver:
                     "non-uniform meshes run on the XLA path only (the "
                     "Pallas kernel is tuned for the uniform bench family)")
             self._pass_meta = True
+            from ..core.static_ctx import generic_interior_map
             from ..ops.pallas_step import make_pallas_chunk
+            g = self.case.grid
+            # host map of generic-interior nodes -> per-tile interior
+            # specialization (ops/pallas_step; HF2D_SPEC=0 disables)
+            spec_map = generic_interior_map(g.CT, g.TCT, g.idXl, g.idXr,
+                                            g.idYu, g.idYd, self.params)
             return make_pallas_chunk(
                 self.meta, self.params, self.chem,
                 (self.beta_xs, self.beta_ys), (self.cfl_xs, self.cfl_ys),
                 self.params.TurbStartIter,
                 tile=self.pallas_tile,
-                fuse_iters=getattr(self, "pallas_fuse", 1))
+                fuse_iters=getattr(self, "pallas_fuse", 1),
+                spec_map=spec_map)
         probe_idx = tuple(self._probe_index(mp.x, mp.y)
                           for mp in self.case.monitor_points)
         # Large grids pass meta as a runtime argument: closing over it
@@ -199,6 +209,9 @@ class Solver:
         self.stats.iters = self.last_iter
         self.stats.steps_per_sec = self.case.Nstep / max(dt_wall, 1e-9)
         self.stats.unstable = bool(np.asarray(diags["unstable"]).any())
+        ovr = diags.get("dt_overrun") if hasattr(diags, "get") else None
+        self.stats.dt_overrun = (bool(np.asarray(ovr).any())
+                                 if ovr is not None else False)
         if self.params.sm == fl.SM_NS and len(self.case.wall_nodes):
             self.recalc_y_plus()
         return diags, dt_wall

@@ -296,3 +296,27 @@ def test_halo_env_underprovision_rejected(monkeypatch):
         halo_depth(p)
     monkeypatch.setenv("HF2D_HALO", "3")
     assert halo_depth(p) == 3
+
+
+def test_dt_overrun_guard():
+    """Frozen-dt CFL monitor (VERDICT r4 item 5): each fused iteration
+    compares the block-frozen dt against that iteration's freshly computed
+    per-node CFL limit (gfc's dt_field).  The reacting impulsive start
+    (dt limit swinging several %/iter) must trip it at K=8; a uniform
+    freestream (stationary dt inputs) must stay clean."""
+    from openhyperflow2d_tpu.examples import reacting_rans_deck
+
+    pal = Solver(build_case(reacting_rans_deck(48, 40)),
+                 use_pallas=True, pallas_tile=(16, 16), pallas_fuse=8)
+    d = pal.run_iters(17)
+    assert np.asarray(d["dt_overrun"]).shape == (17,)
+    assert np.asarray(d["dt_overrun"]).any()
+    assert pal.run_cycle is not None   # surface exists
+    # stats surface: run_cycle records the flag
+    d2, _ = pal.run_cycle()
+    assert isinstance(pal.stats.dt_overrun, bool)
+
+    fs = Solver(build_case(freestream_deck(problem_type=1, nx=48, ny=32)),
+                use_pallas=True, pallas_tile=(16, 16), pallas_fuse=4)
+    dfs = fs.run_iters(9)
+    assert not np.asarray(dfs["dt_overrun"]).any()
