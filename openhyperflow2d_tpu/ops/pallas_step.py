@@ -200,8 +200,30 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                     continue
                 flags[si, sj] = int(sm_np[sx0:sx1, sy0:sy1].all())
         if flags.any():
-            spec_flags = jnp.asarray(flags.reshape(-1))
-    n_spec = 1 if spec_flags is not None else 0
+            spec_flags = flags            # 2-D host array; see below
+    # Execution mode for the specialization:
+    # * "rect": the specialized tiles form an exact rectangle (the usual
+    #   case — an open interior inside a boundary frame).  The K-block is
+    #   issued as up to 5 SINGLE-BODY pallas calls (one specialized
+    #   rectangle + 4 general frame slabs) chained in place through
+    #   input/output aliasing — measured ~20% faster than the dual-body
+    #   branch form (a two-body kernel degrades Mosaic's pipeline even
+    #   for tiles that take the cheap branch: spec-all 17.2 ms/iter vs
+    #   14.3 for the single-body ablation at 4096^2).
+    # * "dual": scattered generic tiles (interior solids) — one kernel
+    #   with both bodies and a per-tile SMEM flag dispatch.
+    spec_mode = None
+    rect = None
+    if spec_flags is not None:
+        tis, tjs = np.nonzero(spec_flags)
+        rx0, rx1 = int(tis.min()), int(tis.max()) + 1
+        ry0, ry1 = int(tjs.min()), int(tjs.max()) + 1
+        if (spec_flags[rx0:rx1, ry0:ry1].all()
+                and os.environ.get("HF2D_SPECMODE", "rect") == "rect"):
+            spec_mode = "rect"
+            rect = (rx0, rx1, ry0, ry1)
+        else:
+            spec_mode = "dual"
 
     # exploded-window layout via edge-replicated pad + static slices
     # (equivalent to a clamped-index gather, but XLA lowers static
@@ -375,10 +397,23 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     n_stage = nS * n_per
     n_meta_stage = nM * n_per
     n_ctx_stage = n_per if ctx_stream else 0
-    n_in = n_stage + n_meta_stage + n_ctx_stage + (1 if has_src else 0)
 
-    def make_fused(KK):
-        """pallas_call running KK fused iterations per invocation."""
+    def make_fused(KK, body="general", dims=None, offset=(0, 0)):
+        """pallas_call running KK fused iterations per invocation.
+
+        ``body``: "general" (full StaticCtx decode), "spec" (interior-
+        specialized constants — single body, no packed-ctx inputs), or
+        "dual" (both bodies + per-tile SMEM flag dispatch).
+        ``dims``/``offset``: tile-grid extent and origin of this call —
+        region-mode blocks cover the grid with several single-body calls
+        (a specialized interior rectangle + general frame slabs).
+        """
+        gx, gy = dims if dims is not None else (nbx, nby)
+        ox, oy = offset
+        n_ctx = n_ctx_stage if body != "spec" else 0
+        n_flag = 1 if body == "dual" else 0
+        n_in = n_stage + n_meta_stage + n_ctx + (1 if has_src else 0)
+        use_ctx = ctx_stream and body != "spec"
 
         def kernel(scal_ref, *refs):
             slim_refs = refs[:nS]
@@ -391,19 +426,19 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                         if (persistent and HY) else None)
             c0 = n_stage + n_meta_stage
             # ctx refs: [pk_ctr, pk_xs, (pk_ys)]
-            ctxp_refs = refs[c0:c0 + n_ctx_stage] if ctx_stream else None
-            src_ref = (refs[c0 + n_ctx_stage] if has_src
+            ctxp_refs = refs[c0:c0 + n_ctx] if use_ctx else None
+            src_ref = (refs[c0 + n_ctx] if has_src
                        else None)
             chem_refs = refs[n_in:n_in + len(CHEM_FIELDS)]
-            spec_ref = (refs[n_in + len(CHEM_FIELDS)] if n_spec else None)
-            k0 = n_in + len(CHEM_FIELDS) + n_spec
+            spec_ref = (refs[n_in + len(CHEM_FIELDS)] if n_flag else None)
+            k0 = n_in + len(CHEM_FIELDS) + n_flag
             out_refs = refs[k0:k0 + nS]
             (pr_num, pr_den, pr_max, pr_uns,
              pr_ovr) = refs[k0 + nS:k0 + nS + 5]
 
-            ti = pl.program_id(0)
-            tj = pl.program_id(1)
-            first = (ti == 0) & (tj == 0)
+            ti = pl.program_id(0) + ox
+            tj = pl.program_id(1) + oy
+            first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
             @pl.when(first)
             def _init():
@@ -591,11 +626,14 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                     out_refs[k][...] = carry[k][..., HX:HX + TX,
                                                 HY:HY + TY]
 
-            if n_spec:
+            if body == "dual":
                 # per-tile dispatch: generic-interior tiles run the
                 # specialized branch (bitwise-identical, ~23% cheaper);
                 # everything else the general decode.  Exactly one branch
-                # executes per grid step.
+                # executes per grid step.  (Scattered-generic decks only:
+                # the rectangle case issues single-body calls instead —
+                # a two-body kernel costs ~20% even on cheap-branch tiles,
+                # measured spec-all 17.2 vs 14.3 ms/iter at 4096^2.)
                 is_spec = spec_ref[ti * nby + tj] > 0
 
                 @pl.when(is_spec)
@@ -605,6 +643,8 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                 @pl.when(jnp.logical_not(is_spec))
                 def _general():
                     run_body(general_ctx())
+            elif body == "spec":
+                run_body(specialized_interior_ctx(meta_blk, p_blk, j0))
             else:
                 run_body(general_ctx())
 
@@ -621,17 +661,18 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                 lead = (9,)
             if lead:
                 return pl.BlockSpec(lead + (WX, WY),
-                                    lambda i, j: (0, i, j),
+                                    lambda i, j: (0, i + ox, j + oy),
                                     memory_space=pltpu.VMEM)
-            return pl.BlockSpec((WX, WY), lambda i, j: (i, j),
+            return pl.BlockSpec((WX, WY), lambda i, j: (i + ox, j + oy),
                                 memory_space=pltpu.VMEM)
 
         def strip_spec_for(f, bx, by):
             lead = lead_of(f)
             if lead:
-                return pl.BlockSpec(lead + (bx, by), lambda i, j: (0, i, j),
+                return pl.BlockSpec(lead + (bx, by),
+                                    lambda i, j: (0, i + ox, j + oy),
                                     memory_space=pltpu.VMEM)
-            return pl.BlockSpec((bx, by), lambda i, j: (i, j),
+            return pl.BlockSpec((bx, by), lambda i, j: (i + ox, j + oy),
                                 memory_space=pltpu.VMEM)
 
         if persistent:
@@ -646,10 +687,10 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         else:
             slim_in = [in_spec_for(f, "slim") for f in SLIM_BIG]
             meta_in = [in_spec_for(f, "meta") for f in MB]
-        if ctx_stream:
+        if use_ctx:
             def ctx_spec(bx, by):
                 return pl.BlockSpec((N_CTX_WORDS, bx, by),
-                                    lambda i, j: (0, i, j),
+                                    lambda i, j: (0, i + ox, j + oy),
                                     memory_space=pltpu.VMEM)
 
             ctx_in = ([ctx_spec(TX, TY), ctx_spec(2 * HX, WY)]
@@ -664,7 +705,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)
                        for _ in CHEM_FIELDS]
                     + ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                       if n_spec else []))
+                       if n_flag else []))
 
         # whole-array accumulator blocks (constant index_map => the block
         # persists across the sequential TPU grid; each program accumulates
@@ -683,12 +724,15 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         # persistent: center block (i,j) is read and written by the SAME
         # grid step only (the overlapping halo ring comes from the strip
         # arrays, not this buffer) -> in-place aliasing is hazard-free and
-        # keeps the carry single-buffered in HBM
+        # keeps the carry single-buffered in HBM.  Region-mode calls
+        # cover only part of the grid: aliasing also preserves the
+        # UNCOVERED tiles' old center values, which the later frame-slab
+        # calls then read as their own (pre-block) centers.
         aliases = {1 + k: k for k in range(nS)} if persistent else {}
 
         return pl.pallas_call(
             kernel,
-            grid=(nbx, nby),
+            grid=(gx, gy),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
@@ -720,10 +764,34 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             dt_new = jnp.minimum(dt_new, slim.dt)
         return dt_new.astype(dtype)
 
+    # region-mode needs the in-place aliasing of persistent staging to
+    # leave uncovered tiles' centers intact between the per-region calls
+    eff_spec_mode = spec_mode
+    if spec_mode == "rect" and not persistent:
+        eff_spec_mode = "dual"
+    if eff_spec_mode == "rect":
+        rx0, rx1, ry0, ry1 = rect
+        regions = [("spec", (rx1 - rx0, ry1 - ry0), (rx0, ry0))]
+        if rx0 > 0:
+            regions.append(("general", (rx0, nby), (0, 0)))
+        if rx1 < nbx:
+            regions.append(("general", (nbx - rx1, nby), (rx1, 0)))
+        if ry0 > 0:
+            regions.append(("general", (rx1 - rx0, ry0), (rx0, 0)))
+        if ry1 < nby:
+            regions.append(("general", (rx1 - rx0, nby - ry1), (rx0, ry1)))
+    elif eff_spec_mode == "dual":
+        regions = [("dual", (nbx, nby), (0, 0))]
+        spec_flags_dev = jnp.asarray(
+            np.asarray(spec_flags, np.int32).reshape(-1))
+    else:
+        regions = [("general", (nbx, nby), (0, 0))]
+
     def make_block(KK):
         if KK not in fused_cache:
-            fused_cache[KK] = make_fused(KK)
-        fused = fused_cache[KK]
+            fused_cache[KK] = [make_fused(KK, body, dims, off)
+                               for (body, dims, off) in regions]
+        fused_list = fused_cache[KK]
 
         def block(slim, kbase, src_ex, dt_in=None, raw_diag=False):
             """Run iterations kbase .. kbase+KK-1 (gfc stage) paired with
@@ -770,18 +838,33 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                            + ([ctx_pk_ys] if HY else []))
             else:
                 ctx_ins = []
-            ins = (slim_ins
-                   + meta_ins
-                   + ctx_ins
-                   + ([src_ex] if has_src else [])
-                   + [getattr(chem, f) for f in CHEM_FIELDS]
-                   + ([spec_flags] if n_spec else []))
-            outs = fused(scal, *ins)
+            # region mode: the slim CENTER arrays thread through the
+            # calls in place (aliased); strips/meta/ctx staged once from
+            # the pre-block carry, so every tile still reads pre-block
+            # neighbor values (Jacobi preserved).  Partials are combined
+            # across calls (sum/max — same totals as one grid).
+            centers_cur = slim_ins[:nS]
+            strips_rest = slim_ins[nS:]
+            num = den = ddm = uns = ovr = None
+            for (body, _, _), fused in zip(regions, fused_list):
+                ins = (centers_cur + strips_rest
+                       + meta_ins
+                       + (ctx_ins if body != "spec" else [])
+                       + ([src_ex] if has_src else [])
+                       + [getattr(chem, f) for f in CHEM_FIELDS]
+                       + ([spec_flags_dev] if body == "dual" else []))
+                outs = fused(scal, *ins)
+                centers_cur = list(outs[:nS])
+                n_, d_, m_, u_, o_ = outs[nS:]
+                num = n_ if num is None else num + n_
+                den = d_ if den is None else den + d_
+                ddm = m_ if ddm is None else jnp.maximum(ddm, m_)
+                uns = u_ if uns is None else uns + u_
+                ovr = o_ if ovr is None else ovr + o_
             if persistent:
-                new_leaves = list(outs[:nS])     # stay (Xp, Yp)
+                new_leaves = centers_cur         # stay (Xp, Yp)
             else:
-                new_leaves = [a[..., :X, :Y] for a in outs[:nS]]
-            num, den, ddm, uns, ovr = outs[nS:]
+                new_leaves = [a[..., :X, :Y] for a in centers_cur]
             slim2 = SlimState(**dict(zip(SLIM_BIG, new_leaves)), dt=dt_k)
             if raw_diag:
                 return slim2, {"num": num.sum(-1), "den": den.sum(-1),

@@ -57,12 +57,20 @@ def test_generic_map_matches_decode(walls):
                 np.testing.assert_array_equal(gv[gen], sv[gen], err_msg=f)
 
 
-def test_spec_kernel_bitwise(monkeypatch):
-    """Full fused chunk, spec on vs off: bitwise-identical state and
-    diagnostics.  Grid 64x384 with (16, 128)-class tiles gives interior
-    tiles whose windows avoid every boundary, so the specialized branch
-    actually executes (verified via a counting wrapper)."""
-    import jax.numpy as jnp
+@pytest.mark.parametrize("mode", ["rect", "dual"])
+def test_spec_kernel_bitwise(monkeypatch, mode):
+    """Full fused chunk, spec on vs off, in both execution modes:
+
+    * rect: the generic tiles form a rectangle -> 5 single-body calls.
+      STATE is bitwise identical; the RMS/DD diag partials are summed
+      across calls instead of one sequential tile accumulator, so those
+      agree to float-summation-order (~1e-7), asserted tightly.
+    * dual: one kernel, per-tile SMEM flag dispatch — everything
+      bitwise including the diags (same accumulator order).
+
+    Grid 64x384 with (16, 128)-class tiles gives interior tiles whose
+    windows avoid every boundary, so the specialized path actually
+    executes (verified via a counting wrapper)."""
     from openhyperflow2d_tpu.ops import pallas_step
 
     calls = {"spec": 0}
@@ -79,6 +87,7 @@ def test_spec_kernel_bitwise(monkeypatch):
         return case
 
     monkeypatch.setenv("HF2D_SPEC", "1")
+    monkeypatch.setenv("HF2D_SPECMODE", mode)
     a = Solver(mk(), use_pallas=True, pallas_tile=(16, 128),
                pallas_fuse=4)
     da = a.run_iters(9)
@@ -95,8 +104,13 @@ def test_spec_kernel_bitwise(monkeypatch):
             np.asarray(getattr(a.state, f)),
             np.asarray(getattr(b.state, f)), err_msg=f)
     for k in ("RMS", "DD_max", "dt_used"):
-        np.testing.assert_array_equal(np.asarray(da[k]),
-                                      np.asarray(db[k]), err_msg=k)
+        if mode == "dual":
+            np.testing.assert_array_equal(np.asarray(da[k]),
+                                          np.asarray(db[k]), err_msg=k)
+        else:
+            np.testing.assert_allclose(np.asarray(da[k]),
+                                       np.asarray(db[k]), rtol=2e-6,
+                                       atol=0, err_msg=k)
     assert (np.asarray(da["unstable"]) == np.asarray(db["unstable"])).all()
     assert (np.asarray(da["dt_overrun"])
             == np.asarray(db["dt_overrun"])).all()
