@@ -35,7 +35,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from openhyperflow2d_tpu.examples import reacting_rans_deck
+    from openhyperflow2d_tpu.examples import combustor_deck
     from openhyperflow2d_tpu.solver.init import build_case
     from openhyperflow2d_tpu.solver.runner import Solver
 
@@ -44,13 +44,20 @@ def main():
     # conjugate heat (the Wedge-class physics: wall law/no-slip + sigma
     # weighting + CalcHeatOnWallSources) at benchmark scale
     walls = os.environ.get("BENCH_WALLS", "0") == "1"
-    # CFL for the bench deck.  The deck's impulsive fuel/oxidizer start is
-    # transiently Tg<0-unstable at cfl=0.25 (measured at 512^2 on both
-    # paths, PERF.md) — the default 0.2 is the measured-stable value at
-    # bench scale so the timed run is a real solve (validity gate below).
-    cfl = float(os.environ.get("BENCH_CFL", "0.2"))
-    deck = reacting_rans_deck(size, size, cfl=cfl, wall_bottom=walls,
-                              adiabatic=not walls, with_step=walls)
+    # Headline deck (round 5): the wall-bounded reacting combustor — the
+    # old wall-less channel was never a valid SOLVE above ~512^2 (its
+    # k-eps length scale l_min defaults to the domain extent, the eddy
+    # viscosity scales with it, and the reference's convective-only dt
+    # then violates the viscous stability limit: Tg<0 on both paths at
+    # any CFL).  The combustor keeps the mixing length wall-bounded; its
+    # stable CFL still shrinks slowly with grid size (mu_t ∝ channel
+    # half-height), hence the size-keyed default, each value measured
+    # stable over the bench horizon (validity gate below).
+    cfl_default = {512: 0.2, 1024: 0.1, 2048: 0.05, 4096: 0.025}.get(
+        size, 0.025)
+    cfl = float(os.environ.get("BENCH_CFL", str(cfl_default)))
+    deck = combustor_deck(size, size, cfl=cfl,
+                          adiabatic=not walls, with_step=walls)
     case = build_case(deck, dtype=dtype)
     if os.environ.get("BENCH_FASTMATH", "1") == "1":
         import dataclasses
@@ -80,7 +87,8 @@ def main():
     stable = (not unstable) and finite
 
     path = "pallas" if use_pallas else "xla"
-    case_name = "reacting RANS" + (" walled+heat" if walls else "")
+    case_name = ("reacting RANS combustor"
+                 + (" +step+heat" if walls else ""))
     result = {
         "metric": f"GCUPS/chip ({size}x{size} {case_name}, {dtype}, "
                   f"{path}, {n_chips} chip)",

@@ -288,13 +288,189 @@ def reacting_rans_deck(nx: int, ny: int, turb_model: int = 4,
                      turb_model=turb_model, turb_ext_model=turb_ext_model,
                      cfl=cfl, beta=0.95, nmax=100,
                      wall_bottom=wall_bottom, step_bottom=with_step)
-    # fuel-rich hot top stream ignites against oxidizer interior
+    # fuel-rich hot top stream ignites against oxidizer interior.
+    # NOTE (round 5): this wall-less configuration is only a VALID solve
+    # up to ~512^2 — without walls l_min defaults to the domain extent,
+    # so the k-eps length scales grow with the grid and the implied
+    # viscous dt limit (dx^2/4nu_eff) drops below the reference's
+    # convective-only dt from ~1024^2 (Tg<0 on BOTH paths at any CFL;
+    # the reference's own abort contract would fire identically).  The
+    # HEADLINE benchmark is combustor_deck below — wall-bounded, flame
+    # near the wall, valid at 4096^2.  This deck remains for the
+    # small-grid correctness tests.
     d.data["Flow2D-2.CompIndex"] = "0"   # fuel
     d.data["Flow2D-2.T"] = "1400."
     d.data["Flow2D-1.CompIndex"] = "1"   # oxidizer
     if not adiabatic:
         d.data["isAdiabaticWall"] = "0"
     return d
+
+
+def combustor_deck(nx: int, ny: int, cfl: float = 0.2,
+                   with_step: bool = False,
+                   adiabatic: bool = True) -> Deck:
+    """Headline benchmark (round 5): wall-bounded reacting RANS
+    combustor, valid as a SOLVE at 4096^2.
+
+    Geometry: a channel with no-slip top/bottom walls (k-eps wall
+    treatment, TCT_eps_Cmk2kXn_WALL like the shipped Wedge deck), a
+    split inlet on the left — hot fuel (1400 K > Tf) in the band next to
+    the bottom wall, oxidizer above — and D0X outflow.  The flame sheet
+    then sits where the wall distance (and so the k-eps length scale) is
+    SMALL, and l_min is bounded by the channel half-height everywhere,
+    so the turbulence viscosity stays inside the convective-dt stability
+    envelope at any grid size — unlike the wall-less reacting_rans_deck
+    whose l_min (and mu_t) scale with the domain (see note there).
+
+    ``with_step``: carve a forward-facing solid step from the bottom
+    wall with conjugate heat (the walls+solid variant, BENCH_WALLS=1).
+    """
+    dx = dy = 0.01
+    lx, ly = nx * dx, ny * dy
+    # fuel-band height is FIXED IN METERS (not a domain fraction): the
+    # flame sheet must sit where the wall distance — hence the k-eps
+    # length scale and the eddy viscosity it implies — stays small at
+    # every grid size, or the viscosity exceeds the convective-only dt's
+    # viscous stability envelope (the l_min ∝ domain failure mode of the
+    # wall-less deck, in milder form)
+    h = round(min(0.64, ly * 0.25), 6)
+    wall_bc = "NT_WNS_2D, TCT_eps_Cmk2kXn_WALL_2D"
+    if with_step:
+        # forward-facing step carved from the bottom wall downstream
+        # (height capped in meters for the same reason as ``h``)
+        xs, hs = round(0.75 * lx, 6), round(min(0.64, 0.25 * ly), 6)
+        pts = [(0.0, ly), (lx, ly), (lx, hs), (xs, hs), (xs, 0.0),
+               (0.0, 0.0), (0.0, h)]
+        conds = [wall_bc,                                  # top wall
+                 "NT_D0X_2D, TCT_dkdx_NULL_2D, TCT_depsdx_NULL_2D",
+                 wall_bc,                                  # step top
+                 wall_bc,                                  # step face
+                 wall_bc,                                  # bottom wall
+                 "NT_FC_2D",                               # fuel inlet
+                 "NT_FC_2D"]                               # ox inlet
+        flows = [1, 1, 1, 1, 1, 2, 1]
+        seed_i = int(xs / dx) + max(2, int(0.05 * nx))
+        seed_j = max(1, int(hs / dy) // 2)
+        area_block = f"""<data/NumArea=2>
+<table=Area1/1>
+3 {max(2, int(h / dy) // 2)}
+<endtable>
+<data/Area1.Type=1>
+<data/Area1.Flow2D=1>
+<data/Area1.TurbulenceModel=4>
+<data/Area1.MaterialID=0>
+<table=Area2/1>
+{seed_i} {seed_j}
+<endtable>
+<data/Area2.Type=0>
+<data/Area2.MaterialID=1>"""
+    else:
+        pts = [(0.0, ly), (lx, ly), (lx, 0.0), (0.0, 0.0), (0.0, h)]
+        conds = [wall_bc,                                  # top wall
+                 "NT_D0X_2D, TCT_dkdx_NULL_2D, TCT_depsdx_NULL_2D",
+                 wall_bc,                                  # bottom wall
+                 "NT_FC_2D",                               # fuel inlet
+                 "NT_FC_2D"]                               # ox inlet
+        flows = [1, 1, 1, 2, 1]
+        area_block = """<data/NumArea=1>
+<table=Area1/1>
+3 3
+<endtable>
+<data/Area1.Type=1>
+<data/Area1.Flow2D=1>
+<data/Area1.TurbulenceModel=4>"""
+    pts_txt = "\n".join(f"{x} {y}" for (x, y) in pts)
+    bounds = []
+    for b, (c, fw) in enumerate(zip(conds, flows), start=1):
+        bounds += [f"<data/Contour1.Bound{b}.Cond={c}>",
+                   f"<data/Contour1.Bound{b}.Flow2D={fw}>",
+                   f"<data/Contour1.Bound{b}.TurbulenceModel=4>",
+                   f"<data/Contour1.Bound{b}.isReset=0>"]
+    bounds_txt = "\n".join(bounds)
+    text = f"""
+<start/Combustor>
+<data/ProjectName=Combustor>
+<data/isVerboseOutput=0>
+<data/BFF=4>
+<data/MaxX={nx}>
+<data/MaxY={ny}>
+<data/dx={dx}>
+<data/dy={dy}>
+<data/SigW=1.0>
+<data/SigF=1.0>
+<data/delta_bl=0.05>
+<data/TurbulenceModel=4>
+<data/TurbStartIter=2>
+<data/TurbExtModel=4>
+<data/isTurbulenceReset=1>
+<data/FlowType=0>
+<data/ProblemType=1>
+<data/CFL={cfl}>
+<table=CFL_Scenario/1>
+0 {cfl}
+<endtable>
+<data/NSaveStep=1>
+<data/Nmax=100>
+<data/NOutStep=10>
+<data/isAlternateRMS=1>
+<data/isIgnoreUnsetNodes=0>
+<data/MonitorIndex=5>
+<data/ExitMonitorValue=1.0>
+<data/NumMonitorPoints=0>
+<data/beta=0.95>
+<data/beta_NonReflectedBC=0.25>
+<table=beta_Scenario/1>
+0 0.95
+<endtable>
+<data/K0=34.>
+<data/gamma=0.>
+<data/Tf=1000.>
+<data/isAdiabaticWall={1 if adiabatic else 0}>
+{AIR_TABLES}
+<data/Ts0=300.>
+<data/NumFlow=0>
+<data/NumFlow2D=2>
+<data/Flow2D-1.CompIndex=1>
+<data/Flow2D-1.Mode=0>
+<data/Flow2D-1.p=100000.0>
+<data/Flow2D-1.T=300.0>
+<data/Flow2D-1.U=600.>
+<data/Flow2D-1.V=0.>
+<data/Flow2D-2.CompIndex=0>
+<data/Flow2D-2.Mode=0>
+<data/Flow2D-2.p=100000.0>
+<data/Flow2D-2.T=1400.0>
+<data/Flow2D-2.U=600.>
+<data/Flow2D-2.V=0.>
+<data/NumRects=0>
+<data/NumCircles=0>
+<data/NumSingleBounds=0>
+<data/NumAirfoils=0>
+<data/NumContour=1>
+<table=Contour1/{len(pts)}>
+{pts_txt}
+<endtable>
+<data/Contour1.MaterialID=0>
+{bounds_txt}
+{area_block}
+<data/InitTime=0.>
+<data/NumSrc=0>
+<data/NumXCut=0>
+<data/is_Cx_calc=0>
+<data/is_Cd_calc=0>
+<data/isOutHeatFluxX=0>
+<data/isOutHeatFluxY=0>
+<data/is_p_asterisk_out=0>
+<data/isSingleGPU=0>
+<data/ActiveSingleGPU=0>
+<data/ThreadBlockSize=0>
+<data/isRecalcYplus=0>
+<data/GasSwapFile=.hf2d>
+<data/OutputFile=.plt>
+<data/ErrorFile=-err.plt>
+<end/Combustor>
+"""
+    return parse_deck(text)
 
 
 def cylinders_deck(nx: int = 192, ny: int = 96, mach: float = 3.0,
