@@ -20,7 +20,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
     import dataclasses
-    from openhyperflow2d_tpu.examples import reacting_rans_deck
+    from openhyperflow2d_tpu.examples import combustor_deck
     from openhyperflow2d_tpu.solver.init import build_case
     from openhyperflow2d_tpu.solver.runner import Solver
 
@@ -30,7 +30,10 @@ def main():
         "SWEEP_CONFIGS",
         "128x512x4,128x512x2,256x512x4,128x1024x2,128x256x2").split(",")
 
-    deck = reacting_rans_deck(size, size)
+    # round-5: sweep the headline combustor deck at its size-keyed
+    # stable CFL (bench.py) so every timed config is also a valid solve
+    cfl = {512: 0.2, 1024: 0.1, 2048: 0.05, 4096: 0.025}.get(size, 0.025)
+    deck = combustor_deck(size, size, cfl=cfl)
     case0 = build_case(deck, dtype="float32")
 
     for cfg in configs:
