@@ -398,7 +398,8 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     n_meta_stage = nM * n_per
     n_ctx_stage = n_per if ctx_stream else 0
 
-    def make_fused(KK, body="general", dims=None, offset=(0, 0)):
+    def make_fused(KK, body="general", dims=None, offset=(0, 0),
+                   scatter_n=None):
         """pallas_call running KK fused iterations per invocation.
 
         ``body``: "general" (full StaticCtx decode), "spec" (interior-
@@ -407,15 +408,26 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         ``dims``/``offset``: tile-grid extent and origin of this call —
         region-mode blocks cover the grid with several single-body calls
         (a specialized interior rectangle + general frame slabs).
+        ``scatter_n``: scatter form — a 1-D grid over ``scatter_n``
+        arbitrary tiles whose (ti, tj) coordinates arrive as a
+        scalar-prefetch table indexed by the BlockSpec index maps
+        (pltpu.PrefetchScalarGridSpec); region mode uses ONE scatter
+        call for the whole general boundary frame instead of 4 slab
+        calls, saving 3 pipeline fill/drains per K-block.
         """
         gx, gy = dims if dims is not None else (nbx, nby)
         ox, oy = offset
+        scatter = scatter_n is not None
         n_ctx = n_ctx_stage if body != "spec" else 0
         n_flag = 1 if body == "dual" else 0
         n_in = n_stage + n_meta_stage + n_ctx + (1 if has_src else 0)
         use_ctx = ctx_stream and body != "spec"
 
-        def kernel(scal_ref, *refs):
+        def kernel(*krefs):
+            if scatter:
+                tt_ref, scal_ref, *refs = krefs
+            else:
+                scal_ref, *refs = krefs
             slim_refs = refs[:nS]
             xs_refs = refs[nS:2 * nS] if persistent else None
             ys_refs = refs[2 * nS:3 * nS] if (persistent and HY) else None
@@ -436,9 +448,15 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             (pr_num, pr_den, pr_max, pr_uns,
              pr_ovr) = refs[k0 + nS:k0 + nS + 5]
 
-            ti = pl.program_id(0) + ox
-            tj = pl.program_id(1) + oy
-            first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+            if scatter:
+                g = pl.program_id(0)
+                ti = tt_ref[0, g]
+                tj = tt_ref[1, g]
+                first = g == 0
+            else:
+                ti = pl.program_id(0) + ox
+                tj = pl.program_id(1) + oy
+                first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
             @pl.when(first)
             def _init():
@@ -652,6 +670,21 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         def lead_of(f):
             return {"S": (9,), "beta": (9,), "Yc": (4,)}.get(f, ())
 
+        # index maps: rectangular region calls offset the 2-D grid ids;
+        # the scatter call looks the block coordinates up in the
+        # scalar-prefetch tile table (index maps receive the prefetch ref
+        # after the grid ids)
+        if scatter:
+            def _imap(lead):
+                if lead:
+                    return lambda g, tt: (0, tt[0, g], tt[1, g])
+                return lambda g, tt: (tt[0, g], tt[1, g])
+        else:
+            def _imap(lead):
+                if lead:
+                    return lambda i, j: (0, i + ox, j + oy)
+                return lambda i, j: (i + ox, j + oy)
+
         def in_spec_for(f, kind):
             if kind == "slim":
                 lead = lead_of(f)
@@ -660,19 +693,17 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             else:
                 lead = (9,)
             if lead:
-                return pl.BlockSpec(lead + (WX, WY),
-                                    lambda i, j: (0, i + ox, j + oy),
+                return pl.BlockSpec(lead + (WX, WY), _imap(True),
                                     memory_space=pltpu.VMEM)
-            return pl.BlockSpec((WX, WY), lambda i, j: (i + ox, j + oy),
+            return pl.BlockSpec((WX, WY), _imap(False),
                                 memory_space=pltpu.VMEM)
 
         def strip_spec_for(f, bx, by):
             lead = lead_of(f)
             if lead:
-                return pl.BlockSpec(lead + (bx, by),
-                                    lambda i, j: (0, i + ox, j + oy),
+                return pl.BlockSpec(lead + (bx, by), _imap(True),
                                     memory_space=pltpu.VMEM)
-            return pl.BlockSpec((bx, by), lambda i, j: (i + ox, j + oy),
+            return pl.BlockSpec((bx, by), _imap(False),
                                 memory_space=pltpu.VMEM)
 
         if persistent:
@@ -689,8 +720,7 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
             meta_in = [in_spec_for(f, "meta") for f in MB]
         if use_ctx:
             def ctx_spec(bx, by):
-                return pl.BlockSpec((N_CTX_WORDS, bx, by),
-                                    lambda i, j: (0, i + ox, j + oy),
+                return pl.BlockSpec((N_CTX_WORDS, bx, by), _imap(True),
                                     memory_space=pltpu.VMEM)
 
             ctx_in = ([ctx_spec(TX, TY), ctx_spec(2 * HX, WY)]
@@ -710,10 +740,16 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         # whole-array accumulator blocks (constant index_map => the block
         # persists across the sequential TPU grid; each program accumulates
         # its center partials into the per-inner-iteration rows)
+        if scatter:
+            acc3 = lambda g, tt: (0, 0, 0)          # noqa: E731
+            acc2 = lambda g, tt: (0, 0)             # noqa: E731
+        else:
+            acc3 = lambda i, j: (0, 0, 0)           # noqa: E731
+            acc2 = lambda i, j: (0, 0)              # noqa: E731
         out_specs = ([strip_spec_for(f, TX, TY) for f in SLIM_BIG]
-                     + [pl.BlockSpec((9, KK, TY), lambda i, j: (0, 0, 0),
+                     + [pl.BlockSpec((9, KK, TY), acc3,
                                      memory_space=pltpu.VMEM)] * 3
-                     + [pl.BlockSpec((KK, TY), lambda i, j: (0, 0),
+                     + [pl.BlockSpec((KK, TY), acc2,
                                      memory_space=pltpu.VMEM)] * 2)
 
         out_shapes = ([jax.ShapeDtypeStruct(lead_of(f) + (Xp, Yp), dtype)
@@ -728,18 +764,33 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
         # cover only part of the grid: aliasing also preserves the
         # UNCOVERED tiles' old center values, which the later frame-slab
         # calls then read as their own (pre-block) centers.
-        aliases = {1 + k: k for k in range(nS)} if persistent else {}
+        # (alias indices count the scalar-prefetch table as input 0 in
+        # the scatter form — verified: a wrong offset fails loudly at
+        # lowering with a shape/dtype mismatch)
+        base = 2 if scatter else 1
+        aliases = {base + k: k for k in range(nS)} if persistent else {}
 
-        return pl.pallas_call(
-            kernel,
-            grid=(gx, gy),
-            in_specs=in_specs,
-            out_specs=out_specs,
+        kw = dict(
             out_shape=out_shapes,
             input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_bytes),
             interpret=(jax.default_backend() == "cpu"))
+        if scatter:
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(scatter_n,),
+                    in_specs=in_specs,
+                    out_specs=out_specs),
+                **kw)
+        return pl.pallas_call(
+            kernel,
+            grid=(gx, gy),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            **kw)
 
     fused_cache = {}
     _, _, _, active_m = node_masks(meta)
@@ -769,17 +820,35 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     eff_spec_mode = spec_mode
     if spec_mode == "rect" and not persistent:
         eff_spec_mode = "dual"
+    scatter_tab = None
     if eff_spec_mode == "rect":
         rx0, rx1, ry0, ry1 = rect
         regions = [("spec", (rx1 - rx0, ry1 - ry0), (rx0, ry0))]
-        if rx0 > 0:
-            regions.append(("general", (rx0, nby), (0, 0)))
-        if rx1 < nbx:
-            regions.append(("general", (nbx - rx1, nby), (rx1, 0)))
-        if ry0 > 0:
-            regions.append(("general", (rx1 - rx0, ry0), (rx0, 0)))
-        if ry1 < nby:
-            regions.append(("general", (rx1 - rx0, nby - ry1), (rx0, ry1)))
+        frame = [(si, sj) for si in range(nbx) for sj in range(nby)
+                 if not (rx0 <= si < rx1 and ry0 <= sj < ry1)]
+        # one scatter call for the whole general boundary frame (tile
+        # coords via scalar-prefetch table) instead of 4 slab calls —
+        # saves 3 pipeline fill/drains per K-block.  MEASURED NEUTRAL
+        # (HF2D_SCATTER=1 0.9716 vs slabs 0.9709 GCUPS at 2048^2, within
+        # noise) while the Mosaic compile of the dynamic index maps is
+        # ~3x slower (and exceeds 15 min at 4096^2), so the slab form
+        # stays the default; the per-call fill/drain cost the scatter
+        # form removes is thereby measured negligible (PERF.md ledger).
+        if (len(frame) > 0
+                and os.environ.get("HF2D_SCATTER", "0") == "1"):
+            scatter_tab = jnp.asarray(
+                np.asarray(frame, np.int32).T)      # (2, n) row-major
+            regions.append(("scatter", len(frame), None))
+        else:
+            if rx0 > 0:
+                regions.append(("general", (rx0, nby), (0, 0)))
+            if rx1 < nbx:
+                regions.append(("general", (nbx - rx1, nby), (rx1, 0)))
+            if ry0 > 0:
+                regions.append(("general", (rx1 - rx0, ry0), (rx0, 0)))
+            if ry1 < nby:
+                regions.append(("general", (rx1 - rx0, nby - ry1),
+                                (rx0, ry1)))
     elif eff_spec_mode == "dual":
         regions = [("dual", (nbx, nby), (0, 0))]
         spec_flags_dev = jnp.asarray(
@@ -789,8 +858,11 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
 
     def make_block(KK):
         if KK not in fused_cache:
-            fused_cache[KK] = [make_fused(KK, body, dims, off)
-                               for (body, dims, off) in regions]
+            fused_cache[KK] = [
+                (make_fused(KK, "general", scatter_n=dims)
+                 if body == "scatter"
+                 else make_fused(KK, body, dims, off))
+                for (body, dims, off) in regions]
         fused_list = fused_cache[KK]
 
         def block(slim, kbase, src_ex, dt_in=None, raw_diag=False):
@@ -853,7 +925,10 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                        + ([src_ex] if has_src else [])
                        + [getattr(chem, f) for f in CHEM_FIELDS]
                        + ([spec_flags_dev] if body == "dual" else []))
-                outs = fused(scal, *ins)
+                if body == "scatter":
+                    outs = fused(scatter_tab, scal, *ins)
+                else:
+                    outs = fused(scal, *ins)
                 centers_cur = list(outs[:nS])
                 n_, d_, m_, u_, o_ = outs[nS:]
                 num = n_ if num is None else num + n_

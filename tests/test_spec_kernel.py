@@ -114,3 +114,44 @@ def test_spec_kernel_bitwise(monkeypatch, mode):
     assert (np.asarray(da["unstable"]) == np.asarray(db["unstable"])).all()
     assert (np.asarray(da["dt_overrun"])
             == np.asarray(db["dt_overrun"])).all()
+
+
+@pytest.mark.parametrize("walls", [False, True], ids=["open", "walls"])
+def test_scatter_frame_bitwise(monkeypatch, walls):
+    """Region mode's general boundary frame as ONE scalar-prefetch
+    scatter call (HF2D_SCATTER=1; measured perf-neutral on TPU, so the
+    slab form is the default) must be bitwise identical to
+    the 4 rectangular slab calls (HF2D_SCATTER=0, default): same tiles, same
+    single 'general' body, only the grid traversal/issue form differs.
+    The diag partials are also bitwise (same per-tile accumulation
+    order: the scatter table enumerates tiles row-major like the slab
+    calls' sum is order-insensitive per (eq, TY-column) row)."""
+
+    def mk():
+        deck = reacting_rans_deck(64, 384, wall_bottom=walls,
+                                  adiabatic=not walls, with_step=walls)
+        return build_case(deck, dtype="float32")
+
+    monkeypatch.setenv("HF2D_SPEC", "1")
+    monkeypatch.setenv("HF2D_SPECMODE", "rect")
+    monkeypatch.setenv("HF2D_SCATTER", "1")
+    a = Solver(mk(), use_pallas=True, pallas_tile=(16, 128),
+               pallas_fuse=4)
+    da = a.run_iters(9)
+
+    monkeypatch.setenv("HF2D_SCATTER", "0")
+    b = Solver(mk(), use_pallas=True, pallas_tile=(16, 128),
+               pallas_fuse=4)
+    db = b.run_iters(9)
+
+    for f in ["S", "beta", "U", "V", "p", "Tg", "Yc", "R", "CP",
+              "lam", "mu", "mu_t", "dt"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a.state, f)),
+            np.asarray(getattr(b.state, f)), err_msg=f)
+    for k in ("RMS", "DD_max", "dt_used"):
+        np.testing.assert_allclose(np.asarray(da[k]), np.asarray(db[k]),
+                                   rtol=2e-6, atol=0, err_msg=k)
+    assert (np.asarray(da["unstable"]) == np.asarray(db["unstable"])).all()
+    assert (np.asarray(da["dt_overrun"])
+            == np.asarray(db["dt_overrun"])).all()
