@@ -56,8 +56,14 @@ def main():
     cfl_default = {512: 0.2, 1024: 0.1, 2048: 0.05, 4096: 0.025}.get(
         size, 0.025)
     cfl = float(os.environ.get("BENCH_CFL", str(cfl_default)))
+    # BENCH_BLUFF=1: interior bluff-body flame holder (V-gutter) — the
+    # generic tile set has a mid-grid hole, exercising the multi-rect
+    # specialization cover + scatter remainder instead of the
+    # single-rect region split (scripts/bluff_multirect_bench.py)
+    bluff = os.environ.get("BENCH_BLUFF", "0") == "1"
     deck = combustor_deck(size, size, cfl=cfl,
-                          adiabatic=not walls, with_step=walls)
+                          adiabatic=not walls, with_step=walls,
+                          bluff_body=bluff)
     case = build_case(deck, dtype=dtype)
     if os.environ.get("BENCH_FASTMATH", "1") == "1":
         import dataclasses
@@ -88,7 +94,8 @@ def main():
 
     path = "pallas" if use_pallas else "xla"
     case_name = ("reacting RANS combustor"
-                 + (" +step+heat" if walls else ""))
+                 + (" +step+heat" if walls else "")
+                 + (" +bluff-body" if bluff else ""))
     result = {
         "metric": f"GCUPS/chip ({size}x{size} {case_name}, {dtype}, "
                   f"{path}, {n_chips} chip)",

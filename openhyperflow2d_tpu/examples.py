@@ -308,7 +308,8 @@ def reacting_rans_deck(nx: int, ny: int, turb_model: int = 4,
 
 def combustor_deck(nx: int, ny: int, cfl: float = 0.2,
                    with_step: bool = False,
-                   adiabatic: bool = True) -> Deck:
+                   adiabatic: bool = True,
+                   bluff_body: bool = False) -> Deck:
     """Headline benchmark (round 5): wall-bounded reacting RANS
     combustor, valid as a SOLVE at 4096^2.
 
@@ -324,6 +325,13 @@ def combustor_deck(nx: int, ny: int, cfl: float = 0.2,
 
     ``with_step``: carve a forward-facing solid step from the bottom
     wall with conjugate heat (the walls+solid variant, BENCH_WALLS=1).
+
+    ``bluff_body``: place an interior SolidBoundRect flame holder
+    mid-duct (V-gutter style, above the fuel band).  The
+    generic-interior tile set then has a hole away from the boundary
+    frame, so the Pallas path exercises the multi-rectangle
+    specialization cover + scatter remainder (ops/pallas_step) instead
+    of the single-rectangle region split.
     """
     dx = dy = 0.01
     lx, ly = nx * dx, ny * dy
@@ -380,6 +388,19 @@ def combustor_deck(nx: int, ny: int, cfl: float = 0.2,
 <data/Area1.Flow2D=1>
 <data/Area1.TurbulenceModel=4>"""
     pts_txt = "\n".join(f"{x} {y}" for (x, y) in pts)
+    # interior bluff-body flame holder mid-duct (V-gutter style); sized
+    # in meters (like ``h``) so the wall-distance field it induces —
+    # hence the k-eps length scale — is grid-size-independent
+    if bluff_body:
+        bh = round(0.5 * h, 6)
+        rect_block = (f"<data/Rect1.Xstart={round(0.45 * lx, 6)}>\n"
+                      f"<data/Rect1.Ystart={round(0.5 * ly - bh / 2, 6)}>\n"
+                      f"<data/Rect1.DX={round(min(0.32, 0.06 * lx), 6)}>\n"
+                      f"<data/Rect1.DY={bh}>\n"
+                      "<data/Rect1.Flow2D=1>\n"
+                      "<data/Rect1.TurbulenceModel=4>\n")
+    else:
+        rect_block = ""
     bounds = []
     for b, (c, fw) in enumerate(zip(conds, flows), start=1):
         bounds += [f"<data/Contour1.Bound{b}.Cond={c}>",
@@ -442,8 +463,8 @@ def combustor_deck(nx: int, ny: int, cfl: float = 0.2,
 <data/Flow2D-2.T=1400.0>
 <data/Flow2D-2.U=600.>
 <data/Flow2D-2.V=0.>
-<data/NumRects=0>
-<data/NumCircles=0>
+<data/NumRects={1 if bluff_body else 0}>
+{rect_block}<data/NumCircles=0>
 <data/NumSingleBounds=0>
 <data/NumAirfoils=0>
 <data/NumContour=1>

@@ -112,6 +112,43 @@ def _default_vmem(vmem_limit_bytes):
     return vmem_limit_bytes
 
 
+def _rect_cover(flags, cap=6):
+    """Greedy exact cover of a boolean tile map by disjoint rectangles.
+
+    Repeatedly removes the largest all-True axis-aligned rectangle
+    (classic max-rectangle-in-histogram sweep).  Returns a list of
+    (x0, x1, y0, y1) half-open tile rects, or None if more than ``cap``
+    rects would be needed — the region-split dispatch then falls back
+    to the dual-body kernel (a long region list would trade the ~20%
+    dual tax for per-call overheads and a combinatorial kernel cache).
+    """
+    m = np.array(flags, bool)
+    rects = []
+    while m.any():
+        if len(rects) == cap:
+            return None
+        nx, ny = m.shape
+        hist = np.zeros(ny, np.int64)
+        best = (0, None)
+        for i in range(nx):
+            hist = np.where(m[i], hist + 1, 0)
+            # largest rectangle in histogram ending at row i
+            stack = []          # (start_col, height)
+            for j, hh in enumerate(list(hist) + [0]):
+                start = j
+                while stack and stack[-1][1] >= hh:
+                    s, ph = stack.pop()
+                    area = ph * (j - s)
+                    if area > best[0]:
+                        best = (area, (i - ph + 1, i + 1, s, j))
+                    start = s
+                stack.append((start, hh))
+        _, (x0, x1, y0, y1) = best
+        rects.append((x0, x1, y0, y1))
+        m[x0:x1, y0:y1] = False
+    return rects
+
+
 def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
                tile, K, vmem_limit_bytes, interior_x=None,
                red_sum=None, red_max=None, red_min=None, k_loop=None,
@@ -210,18 +247,36 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     #   branch form (a two-body kernel degrades Mosaic's pipeline even
     #   for tiles that take the cheap branch: spec-all 17.2 ms/iter vs
     #   14.3 for the single-body ablation at 4096^2).
-    # * "dual": scattered generic tiles (interior solids) — one kernel
-    #   with both bodies and a per-tile SMEM flag dispatch.
+    # * "multirect": the spec set has holes (interior solids) but still
+    #   covers with a few disjoint rectangles — one single-body spec
+    #   call per rectangle, plus ONE scatter call (scalar-prefetch tile
+    #   table) for the non-rectangular general remainder.
+    # * "dual": cover too fragmented (or HF2D_SPECMODE=dual) — one
+    #   kernel with both bodies and a per-tile SMEM flag dispatch.
     spec_mode = None
     rect = None
+    rect_list = None
     if spec_flags is not None:
         tis, tjs = np.nonzero(spec_flags)
         rx0, rx1 = int(tis.min()), int(tis.max()) + 1
         ry0, ry1 = int(tjs.min()), int(tjs.max()) + 1
-        if (spec_flags[rx0:rx1, ry0:ry1].all()
-                and os.environ.get("HF2D_SPECMODE", "rect") == "rect"):
+        mode_env = os.environ.get("HF2D_SPECMODE", "rect")
+        if mode_env == "rect" and spec_flags[rx0:rx1, ry0:ry1].all():
             spec_mode = "rect"
             rect = (rx0, rx1, ry0, ry1)
+        elif mode_env == "rect":
+            # scattered spec set (interior solids punch holes in the
+            # generic interior): cover it with a few disjoint spec
+            # rectangles; the non-spec remainder is non-rectangular, so
+            # it runs as ONE scatter call (tile table via scalar
+            # prefetch — measured perf-neutral vs slab calls).  Falls
+            # back to the dual-body kernel when the cover fragments.
+            cover = _rect_cover(spec_flags)
+            if cover is not None:
+                spec_mode = "multirect"
+                rect_list = cover
+            else:
+                spec_mode = "dual"
         else:
             spec_mode = "dual"
 
@@ -818,10 +873,21 @@ def _machinery(meta, params, chem, beta_tab, cfl_tab, turb_start,
     # region-mode needs the in-place aliasing of persistent staging to
     # leave uncovered tiles' centers intact between the per-region calls
     eff_spec_mode = spec_mode
-    if spec_mode == "rect" and not persistent:
+    if spec_mode in ("rect", "multirect") and not persistent:
         eff_spec_mode = "dual"
     scatter_tab = None
-    if eff_spec_mode == "rect":
+    if eff_spec_mode == "multirect":
+        covered = np.zeros((nbx, nby), bool)
+        regions = []
+        for (qx0, qx1, qy0, qy1) in rect_list:
+            regions.append(("spec", (qx1 - qx0, qy1 - qy0), (qx0, qy0)))
+            covered[qx0:qx1, qy0:qy1] = True
+        frame = [(si, sj) for si in range(nbx) for sj in range(nby)
+                 if not covered[si, sj]]
+        if frame:
+            scatter_tab = jnp.asarray(np.asarray(frame, np.int32).T)
+            regions.append(("scatter", len(frame), None))
+    elif eff_spec_mode == "rect":
         rx0, rx1, ry0, ry1 = rect
         regions = [("spec", (rx1 - rx0, ry1 - ry0), (rx0, ry0))]
         frame = [(si, sj) for si in range(nbx) for sj in range(nby)

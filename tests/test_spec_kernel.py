@@ -155,3 +155,51 @@ def test_scatter_frame_bitwise(monkeypatch, walls):
     assert (np.asarray(da["unstable"]) == np.asarray(db["unstable"])).all()
     assert (np.asarray(da["dt_overrun"])
             == np.asarray(db["dt_overrun"])).all()
+
+
+def test_multirect_bluff_body_bitwise(monkeypatch):
+    """Interior-solid decks (bluff-body combustor): the generic tile set
+    has a mid-grid hole, so region mode covers it with several disjoint
+    single-body spec rectangles + ONE scatter call for the general
+    remainder ("multirect").  Must be bitwise identical to the
+    dual-body dispatch on the state; diags agree to summation order."""
+    from openhyperflow2d_tpu.examples import combustor_deck
+    from openhyperflow2d_tpu.ops import pallas_step
+
+    def mk():
+        return build_case(combustor_deck(160, 384, bluff_body=True),
+                          dtype="float32")
+
+    # the multirect branch must actually engage (>= 2 spec rect calls)
+    made = []
+    orig = pallas_step._rect_cover
+
+    def counting(*a, **k):
+        r = orig(*a, **k)
+        made.append(r)
+        return r
+
+    monkeypatch.setattr(pallas_step, "_rect_cover", counting)
+    monkeypatch.setenv("HF2D_SPEC", "1")
+    monkeypatch.setenv("HF2D_SPECMODE", "rect")
+    a = Solver(mk(), use_pallas=True, pallas_tile=(16, 128),
+               pallas_fuse=4)
+    da = a.run_iters(9)
+    assert made and made[-1] is not None and len(made[-1]) >= 2, made
+
+    monkeypatch.setenv("HF2D_SPECMODE", "dual")
+    b = Solver(mk(), use_pallas=True, pallas_tile=(16, 128),
+               pallas_fuse=4)
+    db = b.run_iters(9)
+
+    for f in ["S", "beta", "U", "V", "p", "Tg", "Yc", "R", "CP",
+              "lam", "mu", "mu_t", "dt"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a.state, f)),
+            np.asarray(getattr(b.state, f)), err_msg=f)
+    for k in ("RMS", "DD_max", "dt_used"):
+        np.testing.assert_allclose(np.asarray(da[k]), np.asarray(db[k]),
+                                   rtol=2e-6, atol=0, err_msg=k)
+    assert (np.asarray(da["unstable"]) == np.asarray(db["unstable"])).all()
+    assert (np.asarray(da["dt_overrun"])
+            == np.asarray(db["dt_overrun"])).all()
