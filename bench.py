@@ -23,7 +23,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "97"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    tile_s = os.environ.get("BENCH_TILE", "128x256")
+    tile_s = os.environ.get("BENCH_TILE", "128x384")
     if "x" in tile_s:
         tile = tuple(int(v) for v in tile_s.split("x"))
     else:

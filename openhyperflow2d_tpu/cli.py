@@ -47,11 +47,13 @@ def main(argv=None):
                     "auto — ON for single-chip TPU float32 uniform-mesh "
                     "runs (the production path), OFF otherwise "
                     "(--no-pallas forces the XLA scan path)")
-    ap.add_argument("--pallas-tile", default="128x256",
-                    help="Pallas tile TXxTY")
+    ap.add_argument("--pallas-tile", default="128x384",
+                    help="Pallas tile TXxTY (128x384 is the measured "
+                    "optimum of the round-5 sweep, PERF.md; clamped to "
+                    "the grid on small decks)")
     ap.add_argument("--fuse", type=int, default=8,
                     help="iterations fused per Pallas kernel launch "
-                    "(K=8 is the measured optimum at 128x256, PERF.md)")
+                    "(K=8 is the measured optimum at 128x384, PERF.md)")
     ap.add_argument("--fast-math", action="store_true",
                     help="reciprocal-multiply transforms (ulp-level "
                     "rounding changes)")

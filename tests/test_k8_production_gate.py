@@ -1,6 +1,7 @@
 """Production-config regression gate (VERDICT-r4 item 6).
 
-The shipped fused-path default — K=8, 128x256 tiles, persistent strip
+The shipped fused-path default — K=8, 128x384 tiles (round-5 sweep
+optimum), persistent strip
 staging, ctx streaming, fast_math, float32 — previously had its
 correctness measured only by a script artifact (scripts/k8_correctness.py
 + PERF.md numbers); a regression in the default config would never fail a
@@ -26,7 +27,7 @@ from openhyperflow2d_tpu.solver.runner import Solver
 def _mk(walls=False):
     # 512x512 at cfl=0.05 — measured stable through 90 iterations on the
     # CPU path (the bench deck's impulsive ignition is Tg<0-marginal at
-    # cfl>=0.1 on this platform); tile (128, 256) -> nbx=4 (X halo
+    # cfl>=0.1 on this platform); tile (128, 384) -> nbx=4 (X halo
     # strips), nby=2 (HY=64 Y strips — the branch a full-Y tile skips)
     deck = reacting_rans_deck(512, 512, cfl=0.05, wall_bottom=walls,
                               adiabatic=not walls, with_step=walls)
@@ -39,7 +40,7 @@ def _mk(walls=False):
 @pytest.mark.parametrize("walls", [False, True],
                          ids=["open", "walls+heat"])
 def test_k8_production_config_envelope(walls, monkeypatch):
-    """Shipped default (K=8, 128x256, persistent, ctx-stream) vs the XLA
+    """Shipped default (K=8, 128x384, persistent, ctx-stream) vs the XLA
     path over one K-block from a settled state: the K-frozen dt lag is
     the only semantic difference, so fields must stay within the
     documented envelope (PERF.md: <= 2% settled)."""
@@ -51,7 +52,7 @@ def test_k8_production_config_envelope(walls, monkeypatch):
     settle, iters = 81, 9          # 9-1 = one whole K=8 block
     ref = Solver(_mk(walls))
     ref.run_iters(settle)
-    pal = Solver(_mk(walls), use_pallas=True, pallas_tile=(128, 256),
+    pal = Solver(_mk(walls), use_pallas=True, pallas_tile=(128, 384),
                  pallas_fuse=8)
     pal.state = jax.tree.map(jnp.copy, ref.state)   # chunk donates inputs
     pal.last_iter = ref.last_iter
