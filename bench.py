@@ -23,7 +23,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "97"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    tile_s = os.environ.get("BENCH_TILE", "128x384")
+    # size-keyed tile default (round-5 sweep): TY=384 wins at 4096^2
+    # (lower window redundancy) but loses below it (Y pad waste:
+    # 2048 -> 6x384 = 2304 rows); measured 0.9245 vs 0.9709 at 2048^2
+    tile_s = os.environ.get("BENCH_TILE",
+                            "128x384" if size >= 4096 else "128x256")
     if "x" in tile_s:
         tile = tuple(int(v) for v in tile_s.split("x"))
     else:

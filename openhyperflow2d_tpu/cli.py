@@ -47,10 +47,11 @@ def main(argv=None):
                     "auto — ON for single-chip TPU float32 uniform-mesh "
                     "runs (the production path), OFF otherwise "
                     "(--no-pallas forces the XLA scan path)")
-    ap.add_argument("--pallas-tile", default="128x384",
-                    help="Pallas tile TXxTY (128x384 is the measured "
-                    "optimum of the round-5 sweep, PERF.md; clamped to "
-                    "the grid on small decks)")
+    ap.add_argument("--pallas-tile", default=None,
+                    help="Pallas tile TXxTY (default: size-keyed — "
+                    "128x384 for grids with MaxY >= 4096, the round-5 "
+                    "sweep optimum, else 128x256 which avoids the "
+                    "TY-padding waste measured at 2048^2; PERF.md)")
     ap.add_argument("--fuse", type=int, default=8,
                     help="iterations fused per Pallas kernel launch "
                     "(K=8 is the measured optimum at 128x384, PERF.md)")
@@ -111,7 +112,12 @@ def main(argv=None):
     if args.fast_math:
         import dataclasses
         case.params = dataclasses.replace(case.params, fast_math=True)
-    tile = tuple(int(v) for v in args.pallas_tile.split("x"))
+    if args.pallas_tile is None:
+        # size-keyed default (round-5 sweep, PERF.md): TY=384 wins at
+        # 4096^2 on window redundancy, loses below on Y-pad waste
+        tile = (128, 384) if case.params.MaxY >= 4096 else (128, 256)
+    else:
+        tile = tuple(int(v) for v in args.pallas_tile.split("x"))
     n_dev = args.devices or len(jax.devices())
     use_pallas = args.pallas
     if use_pallas is None:
